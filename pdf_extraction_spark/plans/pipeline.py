@@ -1,0 +1,190 @@
+"""The extraction pipeline: the flagship Spark program of this engine.
+
+Stages (SURVEY.md §7):
+  1. bucket assignment  — ``pmod(xxhash64(conv_id), n_buckets)``: the unit of
+     idempotent commit + resume (Iceberg ``bucket(conv_id)`` analogue).
+  2. resume anti-join   — drop buckets already ledgered 'done' for this
+     run_id (reference dedup short-circuit, app/routers/extraction.py:110-125,
+     re-expressed as C4 checkpoint semantics).
+  3. salt + repartition — ``repartition(P, bucket, salt)`` where
+     ``salt = turn_idx // salt_turns`` splits whale conversations across
+     tasks (extraction is per-turn, so correctness is unaffected; skew is).
+  4. extraction         — ONE ``mapInPandas`` stage running the
+     deterministic core per Arrow batch; per-row try/except inside the
+     batch yields status='failed' rows instead of killing tasks (reference
+     PartialExtractionError semantics, app/services/pdf_extractor.py:588-633).
+  5. wave commit        — buckets are processed in bounded waves; each wave
+     writes data partitions (dynamic overwrite → idempotent re-run) and then
+     appends its lineage rows. A crash between waves loses at most one
+     uncommitted wave; resume re-runs only missing buckets.
+  6. metrics            — one groupBy aggregation per run (replaces the
+     reference's row-at-a-time batch_jobs counters,
+     app/db/batch_jobs.py:86-183).
+
+Scale notes (100 TB / 10^12 turns): no driver-side data movement — the only
+collect is the ledger's bucket-status list (≤ n_buckets rows of metadata).
+The extraction stage is map-only (no shuffle beyond the explicit
+repartition, which doubles as the write-partitioning). Output is
+bucket-partitioned so downstream conv_id joins/groupBys can pre-prune.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.core.extractor import extract_turn
+from pdf_extraction_spark.plans.checkpoint import Ledger
+from pdf_extraction_spark.sources.tables import TableIO
+
+SPANS_TYPE = (
+    "array<struct<span_idx:int,kind:string,text:string,page:int,"
+    "bbox:struct<x1:double,y1:double,x2:double,y2:double>>>"
+)
+
+EXTRACTED_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
+    f"extracted_text string, spans {SPANS_TYPE}, quality_score double, "
+    "doc_kind string, classify_method string, route string, status string, "
+    "error string"
+)
+
+_PASS_COLS = ["conv_id", "turn_idx", "role", "tool", "ts"]
+_OUT_COLS = [
+    "extracted_text", "spans", "quality_score", "doc_kind",
+    "classify_method", "route", "status", "error",
+]
+
+_FAILED_ROW = {
+    "extracted_text": "",
+    "spans": [],
+    "quality_score": 0.0,
+    "doc_kind": "other",
+    "classify_method": "default",
+    "route": "fallback",
+    "status": "failed",
+}
+
+
+def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: Arrow batch in → Arrow batch out, memory-flat."""
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        outs: List[dict] = []
+        texts = pdf["text"].tolist()
+        tools = pdf["tool"].tolist()
+        for text, tool in zip(texts, tools):
+            try:
+                outs.append(extract_turn(text, tool if isinstance(tool, str) else None))
+            except Exception as exc:  # C3: a poison row must not kill the task
+                outs.append({**_FAILED_ROW, "error": f"extract_error:{type(exc).__name__}"})
+        res = pdf[_PASS_COLS].copy()
+        for col in _OUT_COLS:
+            res[col] = [o[col] for o in outs]
+        yield res
+
+
+def extract_stage(transcripts: DataFrame) -> DataFrame:
+    """The vectorized extraction transform (no shuffle of its own)."""
+    cols = transcripts.columns
+    missing = [c for c in _PASS_COLS if c not in cols]
+    if missing:
+        raise ValueError(f"transcripts missing columns: {missing}")
+    return transcripts.select(*_PASS_COLS, "text").mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+
+
+def _with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn("bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+
+
+def run_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_root: str,
+    run_id: str,
+    n_buckets: int = 32,
+    salt_turns: int = 1000,
+    n_waves: int = 4,
+    partitions: Optional[int] = None,
+    resume: bool = True,
+) -> dict:
+    """Run the pipeline; returns a small summary dict (counts + timing)."""
+    io = TableIO(spark, out_root)
+    ledger = Ledger(io, run_id)
+    t0 = time.monotonic()
+
+    df = _with_bucket(transcripts, n_buckets)
+
+    done = ledger.done_buckets() if resume else frozenset()
+    todo = sorted(set(range(n_buckets)) - done)
+    if not todo:
+        return {"run_id": run_id, "buckets_done": len(done), "buckets_run": 0,
+                "n_turns": 0, "elapsed_s": 0.0, "resumed": True}
+
+    partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total_turns = 0
+    waves = [todo[i::n_waves] for i in range(min(n_waves, len(todo)))]
+    for wave in waves:
+        if not wave:
+            continue
+        wave_df = df.filter(F.col("bucket").isin([int(b) for b in wave]))
+        salted = wave_df.withColumn(
+            "salt", (F.col("turn_idx") / F.lit(salt_turns)).cast("int")
+        ).repartition(partitions, "bucket", "salt").drop("salt")
+        extracted = extract_stage(salted.drop("bucket"))
+        extracted = _with_bucket(extracted, n_buckets)
+
+        io.write(extracted, "extracted", mode="overwrite_partitions", partition_by=["bucket"])
+
+        # lineage rows are computed FROM WHAT WAS WRITTEN — the ledger
+        # certifies on-disk state, not in-flight state.
+        written = io.read("extracted").filter(F.col("bucket").isin([int(b) for b in wave]))
+        stats = ledger.bucket_stats(written)
+        total_turns += sum(s["n_turns"] for s in stats)
+        ledger.mark_done(stats)
+
+    elapsed = time.monotonic() - t0
+    _write_metrics(io, run_id, elapsed)
+    return {
+        "run_id": run_id,
+        "buckets_done": len(done),
+        "buckets_run": len(todo),
+        "n_turns": total_turns,
+        "elapsed_s": round(elapsed, 3),
+        "resumed": bool(done),
+    }
+
+
+def _write_metrics(io: TableIO, run_id: str, elapsed_s: float) -> None:
+    """Per-run metrics table (FIXTURES.md §4; reference stats A3-A6,
+    app/routers/stats.py:57-260 + app/db/batch_jobs.py:127-183 collapsed
+    into one groupBy)."""
+    extracted = io.read("extracted")
+    metrics = (
+        extracted.groupBy("route")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("status") == "partial", 1).otherwise(0)).alias("n_partial"),
+            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("n_failed"),
+            F.avg("quality_score").alias("avg_quality"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn(
+            "throughput_turns_per_sec",
+            (F.col("n_turns") / F.lit(max(elapsed_s, 1e-9))).cast("double"),
+        )
+        .select("run_id", "route", "n_turns", "n_ok", "n_partial", "n_failed",
+                "avg_quality", "throughput_turns_per_sec")
+    )
+    io.write(metrics, "metrics", mode="append")
+
+
+def read_extracted(spark: SparkSession, out_root: str) -> DataFrame:
+    return TableIO(spark, out_root).read("extracted")

