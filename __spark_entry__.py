@@ -1,38 +1,63 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``  : flagship extraction pipeline on sf0.001 (documents →
+  synthetic transcripts → vectorized mapInPandas extraction → route/status
+  aggregate).
+- ``queries()``     : one entry per implemented operator (SURVEY.md §2 +
+  the training-data operator set), each ``(spark, sf_dir) -> DataFrame``.
+- ``oracle_sql()``  : DuckDB-runnable ANSI SQL twins, identically aliased.
+  Ops without a portable SQL expression (xxhash64-based SimHash / sign-LSH
+  buckets, and the free-text extraction pipeline itself) are rows-only.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: run the extraction stage over transcripts synthesized
+    deterministically from the sf0.001 documents table; return per
+    (route, status, doc_kind) counts + avg quality."""
+    from pyspark.sql import Window as W
+
+    from pdf_extraction_spark.plans.pipeline import extract_stage
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    w = W.partitionBy("conv_id").orderBy("doc_id")
+    transcripts = (
+        docs.withColumn("conv_id", F.concat(F.lit("conv_"), F.lpad((F.col("doc_id") % 20).cast("string"), 6, "0")))
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("role", F.element_at(F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                                         (F.col("turn_idx") % 3) + 1))
+        .withColumn("tool", F.when(F.col("role") == "tool", F.lit("web_fetch")))
+        .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("turn_idx") * 17))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+    extracted = extract_stage(transcripts)
+    return (
+        extracted.groupBy("route", "status", "doc_kind")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.sum(F.length("extracted_text")).alias("total_chars"),
+        )
+        .orderBy("route", "status", "doc_kind")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_extraction_spark.operators import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_extraction_spark.operators import all_queries
+
+    return {name: sql for name, (_fn, sql) in all_queries().items() if sql is not None}

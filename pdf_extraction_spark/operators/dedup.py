@@ -1,0 +1,182 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact_dedup      : hash-groupBy keep-first (reference J1/C1 semantics —
+                     content-hash identity, app/db/extractions.py:161-180 —
+                     generalized to a full-corpus dedup).
+- minhash_lsh      : word-shingle MinHash signatures → LSH banding →
+                     candidate pairs → exact n-gram Jaccard verify.
+                     The per-seed min-hash uses LEXICOGRAPHIC MIN OVER
+                     md5 HEX STRINGS — engine-portable (identical in Spark
+                     and DuckDB, no integer-hash divergence) and
+                     rank-preserving, so it is a valid MinHash family.
+- simhash64        : 64-bit SimHash from xxhash64 word hashes, pure column
+                     expressions (64 bit-agg terms, fully codegen'd).
+                     Spark-only (no portable SQL oracle for xxhash64):
+                     driver records a rows-only check.
+
+Scale notes: exact dedup is one shuffle on the hash. MinHash avoids the n²
+comparison: signatures are computed in ONE groupBy (k min-aggregates, no
+seed-row blowup), banding buckets the join, and the exact-Jaccard verify
+touches only candidate pairs. Skewed bands (a common shingle) are handled
+by AQE skew-join; a production hardening is capping bucket width.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.sources.tables import load_testdata as T
+
+N_HASHES = 8
+SHINGLE = 3
+JACCARD_MIN = 0.1
+
+
+# --------------------------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: md5 groups, keep min doc_id, count members."""
+    docs = T(spark, sf, "documents")
+    return (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_members"))
+        .select("keep_id", "n_members")
+        .orderBy("keep_id")
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_members
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+# --------------------------------------------------------------------------
+def _grams_col(text_col, shingle: int = SHINGLE):
+    """Distinct word n-gram shingles (lowercased, space-tokenized)."""
+    w = F.split(F.lower(text_col), " ")
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - (shingle - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + off) for off in range(shingle)])
+    return F.when(n >= shingle, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle: int = SHINGLE) -> DataFrame:
+    """One row per doc: grams + mh0..mh{k-1} — computed in a single groupBy
+    (k min-aggregates over the exploded shingles; no k× row duplication)."""
+    grams = docs.select("doc_id", _grams_col(F.col("text"), shingle).alias("grams"))
+    exploded = grams.select("doc_id", F.explode("grams").alias("g"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(*aggs)
+    return grams.join(sigs, "doc_id", "inner")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs (1 row per band match, r=1 bands) verified with
+    exact shingle Jaccard; emits pairs with jaccard >= JACCARD_MIN."""
+    docs = T(spark, sf, "documents")
+    sigs = minhash_signatures(docs)
+    # unpivot mh0..mh7 → (doc_id, seed, mh)
+    stack_expr = "stack({}, {}) as (seed, mh)".format(
+        N_HASHES, ", ".join(f"'{s}', mh{s}" for s in range(N_HASHES))
+    )
+    bands = sigs.selectExpr("doc_id", stack_expr)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.seed") == F.col("b.seed")) & (F.col("a.mh") == F.col("b.mh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    jac = (
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+                / F.size(F.array_union("grams_a", "grams_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+    return jac
+
+
+_SQL_MINHASH = f"""
+WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(w) >= {SHINGLE}
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in generate_series(1, len(w)-{SHINGLE - 1})])
+              ELSE [] END AS grams
+       FROM ws),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+mh AS (SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || ':' || g)) AS mh
+       FROM ex CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed) s
+       GROUP BY doc_id, s.seed),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+             / len(list_distinct(sa.grams || sb.grams)), 6) AS jaccard
+FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+      / len(list_distinct(sa.grams || sb.grams)) >= {JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+def simhash_expr(text_col, bits: int = 64):
+    """64-bit SimHash as pure column expressions: per-word xxhash64, then a
+    sign-sum per bit position assembled with shiftleft/bitwise-or."""
+    words = F.array_distinct(F.split(F.lower(text_col), " "))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def mask(b: int):
+        # bit 63 is the long sign bit: use its two's-complement literal
+        return F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+
+    def bit_vote(b: int):
+        # sum over words of +1/-1 for bit b, via aggregate (no explode)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1),
+        )
+
+    bit_cols = [F.when(bit_vote(b) > 0, mask(b)).otherwise(F.lit(0).cast("long")) for b in range(bits)]
+    return reduce(lambda a, c: a.bitwiseOR(c), bit_cols, F.lit(0).cast("long"))
+
+
+def q_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash per doc, grouped by top-16-bit prefix (near-dup blocking key).
+    Spark-only: xxhash64 has no portable DuckDB twin (rows-only check)."""
+    docs = T(spark, sf, "documents")
+    sims = docs.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+    return (
+        sims.withColumn("prefix", F.shiftrightunsigned("simhash", 48))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+        .orderBy("prefix")
+    )
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_minhash_lsh_pairs, _SQL_MINHASH),
+    "dedup_simhash_buckets": (q_simhash_buckets, None),
+}

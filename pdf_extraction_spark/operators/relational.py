@@ -1,0 +1,498 @@
+"""Relational operators from SURVEY.md §2 expressed over the driver's
+TPC-H-ish testdata tables, each with a DuckDB oracle.
+
+Every aggregate/computed column is aliased IDENTICALLY in the DataFrame code
+and the oracle SQL (the driver hash-compares by sorted column name). Floats
+are rounded on both sides; DuckDB integer sums are cast to BIGINT to match
+Spark's types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.core.classify import MEMO_PHRASES, QP_PHRASES
+from pdf_extraction_spark.functions.exprs import (
+    classify_cascade_exprs,
+    quality_score_expr,
+    route_expr,
+    slug_expr,
+    token_estimate_expr,
+)
+from pdf_extraction_spark.sources.tables import load_testdata as T
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-style agg — the headline scan+agg (reference analytics A3/A4 are
+# this shape; also the partial-agg/codegen showcase for the bench).
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                AS sum_qty,
+       round(sum(l_extendedprice), 2)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc_price,
+       round(avg(l_quantity), 6)                                AS avg_qty,
+       round(avg(l_discount), 6)                                AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# J1 — dedup anti-join: incoming keys not in the stored-hash ledger
+# (reference check_duplicate, app/db/extractions.py:161-180; short-circuit
+# app/routers/extraction.py:110-125). Ledger simulated as already-stored
+# documents (doc_id % 7 == 0); the small ledger side is broadcast.
+def q_dedup_anti_new_work(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    ledger = hashed.filter(F.col("doc_id") % 7 == 0).select("h")
+    return (
+        hashed.join(F.broadcast(ledger), "h", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_DEDUP_ANTI = """
+WITH hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+ledger AS (SELECT h FROM hashed WHERE doc_id % 7 = 0)
+SELECT doc_id FROM hashed WHERE h NOT IN (SELECT h FROM ledger) ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# J2/U1 — union of two result stores, then the J1 lookup against the union
+# (reference check_duplicate_any, app/db/extractions.py:183-199).
+def q_union_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    hashed = docs.select("doc_id", "source", F.md5("text").alias("h"))
+    store_a = hashed.filter(F.col("source") == "src0").select("h")
+    store_b = hashed.filter(F.col("source") == "src1").select("h")
+    union = store_a.unionByName(store_b).distinct()
+    return (
+        hashed.join(F.broadcast(union), "h", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_new"))
+        .orderBy("source")
+    )
+
+
+_SQL_UNION_DEDUP = """
+WITH hashed AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+u AS (SELECT DISTINCT h FROM hashed WHERE source IN ('src0', 'src1'))
+SELECT source, count(*) AS n_new
+FROM hashed WHERE h NOT IN (SELECT h FROM u)
+GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# J4 + P7 + F15 — retry-state join: incoming unit joined to prior state,
+# then the when-cascade decision (reference app/routers/extraction.py:149-190;
+# retry cap + review-queue escalation :232-241,332).
+def q_retry_state_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = T(spark, sf, "customer")
+    orders = T(spark, sf, "orders")
+    prior = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_prior"),
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("has_completed"),
+    )
+    joined = cust.join(prior, cust.c_custkey == prior.o_custkey, "left_outer")
+    decision = (
+        F.when(F.col("n_prior").isNull(), "process")
+        .when(F.col("has_completed") == 1, "replay")
+        .when(F.col("n_prior") >= 5, "review_queue")
+        .otherwise("retry")
+    )
+    return (
+        joined.select(decision.alias("decision"))
+        .groupBy("decision")
+        .agg(F.count("*").alias("n"))
+        .orderBy("decision")
+    )
+
+
+_SQL_RETRY_STATE = """
+WITH prior AS (
+  SELECT o_custkey, count(*) AS n_prior,
+         max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS has_completed
+  FROM orders GROUP BY o_custkey
+)
+SELECT CASE WHEN n_prior IS NULL THEN 'process'
+            WHEN has_completed = 1 THEN 'replay'
+            WHEN n_prior >= 5 THEN 'review_queue'
+            ELSE 'retry' END AS decision,
+       count(*) AS n
+FROM customer LEFT JOIN prior ON c_custkey = o_custkey
+GROUP BY 1 ORDER BY decision
+"""
+
+
+# --------------------------------------------------------------------------
+# J3 — element-id lookup: key-correlated retrieval in stable element order
+# (reference app/routers/extraction.py:706-754 nested-loop scan → equi-join).
+def q_element_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    li = T(spark, sf, "lineitem")
+    orders = T(spark, sf, "orders")
+    target = orders.agg(F.min("o_orderkey").alias("k"))
+    return (
+        li.join(F.broadcast(target), li.l_orderkey == F.col("k"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_linenumber")
+    )
+
+
+_SQL_ELEMENT_LOOKUP = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)
+ORDER BY l_linenumber
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 + P5 — quality bucket scorer + routing predicate as pure SQL over
+# documents (text-length buckets; sentence count as the element analogue).
+def q_quality_route(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    tl = F.length("text")
+    ec = F.size(F.split(F.col("text"), " "))
+    hc = F.coalesce(F.regexp_count(F.col("text"), F.lit(r"\.")), F.lit(0))
+    q = quality_score_expr(tl, ec, hc, F.lit(0), F.lit(0))
+    return (
+        docs.select(q.alias("q"), route_expr(q).alias("route"))
+        .groupBy("route")
+        .agg(F.count("*").alias("n"), F.round(F.avg("q"), 6).alias("avg_quality"))
+        .orderBy("route")
+    )
+
+
+_SQL_QUALITY_ROUTE = r"""
+WITH scored AS (
+  SELECT round(least(1.0,
+      (CASE WHEN length(text) > 1000 THEN 0.4 WHEN length(text) > 500 THEN 0.3
+            WHEN length(text) > 100 THEN 0.2 ELSE 0.0 END)
+    + (CASE WHEN len(string_split(text, ' ')) > 50 THEN 0.3
+            WHEN len(string_split(text, ' ')) > 20 THEN 0.2
+            WHEN len(string_split(text, ' ')) > 5 THEN 0.1 ELSE 0.0 END)
+    + (CASE WHEN length(regexp_replace(text, '[^.]', '', 'g')) >= 5 THEN 0.15
+            WHEN length(regexp_replace(text, '[^.]', '', 'g')) >= 3 THEN 0.1
+            WHEN length(regexp_replace(text, '[^.]', '', 'g')) >= 1 THEN 0.05 ELSE 0.0 END)
+  ), 4) AS q
+  FROM documents
+)
+SELECT CASE WHEN q >= 0.7 THEN 'primary' ELSE 'fallback' END AS route,
+       count(*) AS n, round(avg(q), 6) AS avg_quality
+FROM scored GROUP BY 1 ORDER BY route
+"""
+
+
+# --------------------------------------------------------------------------
+# A4 — routing stats: histogram by method, avg quality, counterfactual cost,
+# p95 (reference app/routers/stats.py:180-260; vision counterfactual ×5 at
+# :217-222; p95 :238-243 — here percentile, not a full sort).
+def q_routing_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.percentile("value", 0.95), 6).alias("p95_value"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "click", F.col("value") * 5).otherwise(F.col("value"))),
+                2,
+            ).alias("counterfactual_cost"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_ROUTING_STATS = """
+SELECT event_type, count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       round(quantile_cont(value, 0.95), 6) AS p95_value,
+       round(sum(CASE WHEN event_type = 'click' THEN value * 5 ELSE value END), 2) AS counterfactual_cost
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — caching stats: conditional counts + hit-rate derivation
+# (reference app/routers/stats.py:57-100).
+def q_caching_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    return ev.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("hits"),
+        F.round(
+            100.0 * F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)) / F.count("*"), 2
+        ).alias("hit_rate_pct"),
+        F.round(F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)), 2).alias("hit_value"),
+    )
+
+
+_SQL_CACHING_STATS = """
+SELECT count(*) AS total,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       round(100.0 * sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) / count(*), 2) AS hit_rate_pct,
+       round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 2) AS hit_value
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# A5 + A6 — batch summary + the status state machine over aggregated counts
+# (reference app/services/batch_processor.py:188-191 and the incremental
+# counter state machine app/db/batch_jobs.py:127-183, re-expressed as ONE
+# groupBy instead of row-at-a-time read-modify-write).
+def q_batch_summary_state(spark: SparkSession, sf: str) -> DataFrame:
+    orders = T(spark, sf, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_completed"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_failed"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_cost"),
+    )
+    status = (
+        F.when(F.col("n_completed") == F.col("total"), "completed")
+        .when(F.col("n_completed") == 0, "failed")
+        .otherwise("partial")
+    )
+    return agg.withColumn("batch_status", status).orderBy("o_orderpriority")
+
+
+_SQL_BATCH_SUMMARY = """
+WITH agg AS (
+  SELECT o_orderpriority, count(*) AS total,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+         round(sum(o_totalprice), 2) AS total_cost
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, total, n_completed, n_failed, total_cost,
+       CASE WHEN n_completed = total THEN 'completed'
+            WHEN n_completed = 0 THEN 'failed'
+            ELSE 'partial' END AS batch_status
+FROM agg ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# O2 — pagination: order desc + offset/limit (reference
+# app/db/extractions.py:281; unique tiebreak key added for determinism).
+def q_pagination(spark: SparkSession, sf: str) -> DataFrame:
+    orders = T(spark, sf, "orders")
+    return (
+        orders.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    )
+
+
+_SQL_PAGINATION = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 20 OFFSET 40
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 — dedup keep-first window (replay semantics): row_number over
+# (partition by key order by ts) = 1. Exercised on orders per customer.
+def q_keep_first_window(spark: SparkSession, sf: str) -> DataFrame:
+    orders = T(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    )
+
+
+_SQL_KEEP_FIRST = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# F1/F2/F4 — slug + canonical key + short hash id over part names
+# (reference app/models/extraction.py:131-161; short id memo_extractor.py:604).
+def q_slug_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    part = T(spark, sf, "part")
+    doc_id = F.substring(F.md5("p_name"), 1, 12)
+    canonical = F.concat_ws(
+        "-", doc_id, slug_expr(F.col("p_name")),
+        F.concat(F.lit("gr"), slug_expr(F.col("p_brand"))),
+        slug_expr(F.col("p_type")), F.col("p_size").cast("string"), F.lit("qp"),
+    )
+    return (
+        part.select(
+            "p_partkey", slug_expr(F.col("p_name")).alias("name_slug"), canonical.alias("canonical_key")
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+_SQL_SLUG_CANONICAL = r"""
+WITH s AS (
+  SELECT p_partkey,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(p_name),
+              '[/\\]+', '-', 'g'), '[^a-z0-9\-]+', '-', 'g'), '-+', '-', 'g'), '^-+|-+$', '', 'g'), '-')
+           AS name_slug,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(p_brand),
+              '[/\\]+', '-', 'g'), '[^a-z0-9\-]+', '-', 'g'), '-+', '-', 'g'), '^-+|-+$', '', 'g'), '-')
+           AS brand_slug,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(p_type),
+              '[/\\]+', '-', 'g'), '[^a-z0-9\-]+', '-', 'g'), '-+', '-', 'g'), '^-+|-+$', '', 'g'), '-')
+           AS type_slug,
+         substr(md5(p_name), 1, 12) AS doc_id, p_size
+  FROM part
+)
+SELECT p_partkey, name_slug,
+       doc_id || '-' || name_slug || '-gr' || brand_slug || '-' || type_slug || '-' ||
+         CAST(p_size AS VARCHAR) || '-qp' AS canonical_key
+FROM s ORDER BY p_partkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# F8/A7/A8 — token estimate (len//4) + cost arithmetic per source
+# (reference app/services/pdf_extractor.py:146-159; cost math
+# app/routers/stats.py:217-222).
+def q_token_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    return (
+        docs.select("source", token_estimate_expr(F.col("text")).alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.round(F.avg("tok"), 6).alias("avg_tokens"),
+            F.round(F.sum(F.col("tok") * 0.000001), 6).alias("cost_usd"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TOKEN_ESTIMATE = """
+WITH t AS (SELECT source, CAST(floor(length(text) / 4) AS BIGINT) AS tok FROM documents)
+SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens,
+       round(avg(tok), 6) AS avg_tokens, round(sum(tok * 0.000001), 6) AS cost_usd
+FROM t GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# F5/F6/F7 — the classifier cascade as SQL. Phrase lists adapted to the
+# testdata vocabulary so every cascade layer actually fires (the reference
+# phrase lists never occur in the synthetic docs); the cascade LOGIC —
+# dominance rules, confidence formula, layer precedence — is identical
+# (reference document_classifier.py:36-200).
+_MEMO_DOC = ("window", "join")
+_QP_DOC = ("scan", "filter")
+
+
+def q_classifier_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    kind, conf, method = classify_cascade_exprs(F.col("text"), _MEMO_DOC, _QP_DOC)
+    return (
+        docs.select(kind.alias("doc_kind"), conf.alias("confidence"), method.alias("method"))
+        .groupBy("doc_kind", "method")
+        .agg(F.count("*").alias("n"), F.round(F.avg("confidence"), 6).alias("avg_conf"))
+        .orderBy("doc_kind", "method")
+    )
+
+
+def _occ_sql(phrase: str) -> str:
+    return f"CAST((length(full_text) - length(replace(full_text, '{phrase}', ''))) / {len(phrase)} AS BIGINT)"
+
+
+_SQL_CLASSIFIER = f"""
+WITH base AS (
+  SELECT substr(CASE WHEN position('\n' IN text) > 0 THEN substr(text, 1, position('\n' IN text) - 1)
+                     ELSE text END, 1, 200) AS first_line,
+         lower(substr(text, 1, 3000)) AS sample, lower(text) AS full_text
+  FROM documents
+), sig AS (
+  SELECT
+    (regexp_matches(first_line, '\\bmg\\b', 'i') OR regexp_matches(first_line, '\\bmemo\\b', 'i')
+     OR regexp_matches(first_line, '\\bmarking\\b', 'i') OR regexp_matches(first_line, '\\bmemorandum\\b', 'i'))
+      AS memo_name,
+    (regexp_matches(first_line, '\\bqp\\b', 'i') OR regexp_matches(first_line, '\\bquestion[_\\s]?paper\\b', 'i'))
+      AS qp_name,
+    (CASE WHEN sample LIKE '%{_MEMO_DOC[0]}%' THEN 1 ELSE 0 END
+     + CASE WHEN sample LIKE '%{_MEMO_DOC[1]}%' THEN 1 ELSE 0 END) AS memo_hits,
+    (CASE WHEN sample LIKE '%{_QP_DOC[0]}%' THEN 1 ELSE 0 END
+     + CASE WHEN sample LIKE '%{_QP_DOC[1]}%' THEN 1 ELSE 0 END) AS qp_hits,
+    ({_occ_sql(_MEMO_DOC[0])} + {_occ_sql(_MEMO_DOC[1])}) AS memo_occ,
+    ({_occ_sql(_QP_DOC[0])} + {_occ_sql(_QP_DOC[1])}) AS qp_occ
+  FROM base
+), cls AS (
+  SELECT
+    CASE WHEN memo_name AND NOT qp_name THEN 'memo'
+         WHEN qp_name AND NOT memo_name THEN 'question_paper'
+         WHEN memo_hits > 0 AND memo_hits > qp_hits THEN 'memo'
+         WHEN qp_hits > 0 AND qp_hits > memo_hits THEN 'question_paper'
+         WHEN memo_occ > qp_occ THEN 'memo'
+         WHEN qp_occ > memo_occ THEN 'question_paper'
+         ELSE 'other' END AS doc_kind,
+    CASE WHEN (memo_name AND NOT qp_name) OR (qp_name AND NOT memo_name) THEN 0.9
+         WHEN memo_hits > 0 AND memo_hits > qp_hits THEN round(least(0.95, 0.7 + 0.05 * memo_hits), 4)
+         WHEN qp_hits > 0 AND qp_hits > memo_hits THEN round(least(0.95, 0.7 + 0.05 * qp_hits), 4)
+         WHEN memo_occ <> qp_occ THEN 0.75
+         ELSE 0.5 END AS confidence,
+    CASE WHEN (memo_name AND NOT qp_name) OR (qp_name AND NOT memo_name) THEN 'filename'
+         WHEN (memo_hits > 0 AND memo_hits > qp_hits) OR (qp_hits > 0 AND qp_hits > memo_hits)
+           THEN 'content_keywords'
+         WHEN memo_occ <> qp_occ THEN 'heuristic'
+         ELSE 'default' END AS method
+  FROM sig
+)
+SELECT doc_kind, method, count(*) AS n, round(avg(confidence), 6) AS avg_conf
+FROM cls GROUP BY doc_kind, method ORDER BY doc_kind, method
+"""
+
+
+QUERIES = {
+    "tpch_q1": (q_tpch_q1, _SQL_TPCH_Q1),
+    "dedup_anti_new_work": (q_dedup_anti_new_work, _SQL_DEDUP_ANTI),
+    "union_dedup_check": (q_union_dedup_check, _SQL_UNION_DEDUP),
+    "retry_state_join": (q_retry_state_join, _SQL_RETRY_STATE),
+    "element_lookup": (q_element_lookup, _SQL_ELEMENT_LOOKUP),
+    "quality_route": (q_quality_route, _SQL_QUALITY_ROUTE),
+    "routing_stats": (q_routing_stats, _SQL_ROUTING_STATS),
+    "caching_stats": (q_caching_stats, _SQL_CACHING_STATS),
+    "batch_summary_state": (q_batch_summary_state, _SQL_BATCH_SUMMARY),
+    "pagination": (q_pagination, _SQL_PAGINATION),
+    "keep_first_window": (q_keep_first_window, _SQL_KEEP_FIRST),
+    "slug_canonical": (q_slug_canonical, _SQL_SLUG_CANONICAL),
+    "token_estimate": (q_token_estimate, _SQL_TOKEN_ESTIMATE),
+    "classifier_cascade": (q_classifier_cascade, _SQL_CLASSIFIER),
+}

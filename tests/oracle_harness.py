@@ -1,0 +1,85 @@
+"""Local mirror of the driver's correctness gate: run each queries() entry
+on Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row-count + column names + exact canonicalized values."""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Tuple
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.round(9)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None)
+        else:
+            try:
+                if s.map(lambda v: isinstance(v, float)).any():
+                    df[c] = s.map(lambda v: round(v, 9) if isinstance(v, float) else v)
+            except Exception:
+                pass
+        # int-vs-float dtype unification (duckdb hugeint → object/float)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> Tuple[bool, str]:
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        return False, f"columns differ: {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}"
+    if len(spark_df) != len(oracle_df):
+        return False, f"row counts differ: {len(spark_df)} vs {len(oracle_df)}"
+    a, b = _canon(spark_df), _canon(oracle_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av = pd.to_numeric(av, errors="coerce").astype(float)
+            bv = pd.to_numeric(bv, errors="coerce").astype(float)
+            bad = ~((av == bv) | (av.isna() & bv.isna()) | ((av - bv).abs() < 1e-9))
+        else:
+            bad = av.astype(str) != bv.astype(str)
+        if bad.any():
+            i = bad.idxmax()
+            return False, f"value mismatch in '{c}' row {i}: spark={a[c][i]!r} oracle={b[c][i]!r}"
+    return True, "ok"
+
+
+def run_all(spark, sf_dir: str, only: Optional[set] = None) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb_conn(sf_dir)
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            results[name] = (len(sdf) >= 0, f"rows-only: {len(sdf)} rows")
+            continue
+        odf = con.sql(oracles[name]).df()
+        results[name] = compare(sdf, odf)
+    return results
