@@ -1,0 +1,160 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+Design for the 100 TB case:
+- media rows are ``(doc_id, media_type, payload BINARY, meta STRUCT<width,
+  height, duration_ms, codec>)`` — payloads stay opaque bytes end-to-end;
+  Spark never interprets them, so scans stream and column pruning can drop
+  the heavy payload column whenever only metadata is needed.
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages (bytes → fixed-width features), exactly like the
+  text extraction stage: map-only, no shuffle, batch-size-bounded memory.
+- the actual codec calls are STUBBED (no image/audio libs in this
+  container): ``decode_image`` raises NotImplementedError unless
+  ``fake=True``, in which case a deterministic md5-derived feature vector
+  stands in. The Spark-side plumbing — schema, batching, partitioning,
+  null/short-payload handling — is real and tested; swapping the stub for
+  Pillow/librosa/pyav changes ONE function body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.sources.tables import load_testdata as T
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, payload binary, "
+    "meta struct<width:int, height:int, duration_ms:int, codec:string>"
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, "
+    f"features array<double>, status string"
+)
+
+
+def synth_media(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic binary media synthesized from the documents table
+    (payload = utf-8 bytes of the text; media_type round-robins)."""
+    docs = T(spark, sf, "documents")
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        (F.col("doc_id") % 10000).cast("int").alias("duration_ms"),
+        F.lit("fake/deterministic").alias("codec"),
+    )
+    return docs.select(
+        "doc_id",
+        mt.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------- decoders
+
+def decode_image(payload: bytes, fake: bool = False) -> List[float]:
+    """STUB: real impl would decode via Pillow/libjpeg. The deterministic
+    fake derives FEATURE_DIM doubles from the md5 of the bytes."""
+    if not fake:
+        raise NotImplementedError("image codecs not available in this environment")
+    h = hashlib.md5(payload).digest()
+    return [round(b / 255.0, 6) for b in h[:FEATURE_DIM]]
+
+
+def resize_image(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """STUB: real impl would re-encode at (width, height)."""
+    if not fake:
+        raise NotImplementedError("image codecs not available in this environment")
+    return payload[: max(1, min(len(payload), width * height))]
+
+
+def sample_frames(payload: bytes, every_ms: int, duration_ms: int, fake: bool = False) -> List[bytes]:
+    """STUB: real impl would demux frames via pyav."""
+    if not fake:
+        raise NotImplementedError("video codecs not available in this environment")
+    n = max(1, duration_ms // max(1, every_ms))
+    step = max(1, len(payload) // n)
+    return [payload[i * step : (i + 1) * step] for i in range(n)]
+
+
+def media_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """bytes → feature vectors, Arrow-batched, map-only, null-safe."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats: List[Optional[List[float]]] = []
+            status: List[str] = []
+            n_bytes: List[int] = []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                n_bytes.append(len(b))
+                if not b:
+                    feats.append([])
+                    status.append("empty")
+                    continue
+                try:
+                    feats.append(decode_image(b, fake=fake))
+                    status.append("ok")
+                except NotImplementedError:
+                    feats.append([])
+                    status.append("codec_unavailable")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n_bytes,
+                    "features": feats,
+                    "status": status,
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-extraction aggregate over synthesized binary media. The fake
+    decoder is md5-based, so a SQL oracle CAN verify it end-to-end."""
+    feats = media_features(synth_media(spark, sf), fake=True)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.sum(F.get("features", 0)), 6).alias("sum_f0"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_SQL_MULTIMODAL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         -- DuckDB md5(VARCHAR) hashes the utf-8 encoding == md5 of payload bytes
+         round(CAST(('0x' || substr(md5(text), 1, 2))::INTEGER AS DOUBLE) / 255.0, 6) AS f0
+  FROM documents
+)
+SELECT media_type, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(sum(f0), 6) AS sum_f0,
+       count(*) AS n_ok
+FROM m GROUP BY media_type ORDER BY media_type
+"""
+
+
+QUERIES = {
+    "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
+}

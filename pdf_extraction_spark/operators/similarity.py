@@ -133,7 +133,53 @@ def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+NEARDUP_COSINE = 0.33
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs reference
+    implementation; the LSH bucketing above is the >10⁹-vector scale path —
+    bucket first, compare only within buckets). Quantized-dot cosine keeps
+    the oracle bit-identical."""
+    emb = T(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        _qdot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_qnorm2(F.col("ea"))) * F.sqrt(_qnorm2(F.col("eb")))),
+        6,
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _qd_sql(x: str, y: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST(round(CAST({x}[i] AS DOUBLE) * 10000) AS BIGINT) "
+        f"* CAST(round(CAST({y}[i] AS DOUBLE) * 10000) AS BIGINT))) AS BIGINT)"
+    )
+
+
+_SQL_NEARDUP = f"""
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_qd_sql('a.embedding', 'b.embedding')}
+               / (sqrt({_qd_sql('a.embedding', 'a.embedding')})
+                  * sqrt({_qd_sql('b.embedding', 'b.embedding')})), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {NEARDUP_COSINE}
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, _SQL_ANN),
     "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, _SQL_NEARDUP),
 }

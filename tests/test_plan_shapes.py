@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the optimizer properties we rely on at
+100 TB must stay visible in the plan (pushdown, pruning, broadcast,
+partial aggregation, map-only extraction)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from pdf_extraction_spark.operators.relational import q_tpch_q1
+
+    plan = plan_of(q_tpch_q1(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # pruned scan: only the 6 referenced columns, not all 16
+    read = [l for l in plan.splitlines() if l.startswith("ReadSchema")][0]
+    assert read.count(":") - 1 <= 7  # col:type pairs
+    assert "l_comment" not in plan
+    # map-side partial aggregation present
+    assert "partial_sum" in plan
+
+
+def test_anti_join_is_broadcast(spark):
+    from pdf_extraction_spark.operators.relational import q_dedup_anti_new_work
+
+    plan = plan_of(q_dedup_anti_new_work(spark, SF))
+    assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_element_lookup_broadcast(spark):
+    from pdf_extraction_spark.operators.relational import q_element_lookup
+
+    plan = plan_of(q_element_lookup(spark, SF))
+    assert "Broadcast" in plan
+
+
+def test_extract_stage_is_map_only(spark, transcripts_df):
+    """The extraction transform must add NO shuffle of its own."""
+    from pdf_extraction_spark.plans.pipeline import extract_stage
+
+    plan = plan_of(extract_stage(transcripts_df))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_quality_route_has_no_python_udf(spark):
+    """Scoring/routing/classification are pure codegen — no Python in plan."""
+    from pdf_extraction_spark.operators.relational import (
+        q_classifier_cascade,
+        q_quality_route,
+    )
+
+    for q in (q_quality_route, q_classifier_cascade):
+        plan = plan_of(q(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "MapInPandas" not in plan
+
+
+def test_no_per_row_python_udfs_in_codebase():
+    """CI guard (SURVEY.md §7): hot-path code never registers row-at-a-time
+    Python UDFs; Python enters only via mapInPandas/pandas_udf."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "pdf_extraction_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if "F.udf(" in src or "@udf" in src:
+            offenders.append(str(p))
+        if ".collect()" in src and p.name not in ("checkpoint.py",):
+            # checkpoint.py collects metadata-sized ledger rows only
+            offenders.append(f"{p}: collect outside ledger")
+    assert not offenders, offenders
