@@ -496,3 +496,98 @@ QUERIES = {
     "token_estimate": (q_token_estimate, _SQL_TOKEN_ESTIMATE),
     "classifier_cascade": (q_classifier_cascade, _SQL_CLASSIFIER),
 }
+
+
+# --------------------------------------------------------------------------
+# P4 — validity filters with a rejected-rows side output (reference
+# file_validator.py:57-72: empty reject, oversize reject, type reject).
+def q_validity_filters(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    status = (
+        F.when(F.length("text") == 0, "rejected_empty")
+        .when(F.length("text") > 520, "rejected_oversize")
+        .when(~F.col("lang").isin("en", "de", "fr"), "rejected_type")
+        .otherwise("valid")
+    )
+    return (
+        docs.select(status.alias("validity"))
+        .groupBy("validity")
+        .agg(F.count("*").alias("n"))
+        .orderBy("validity")
+    )
+
+
+_SQL_VALIDITY = """
+SELECT CASE WHEN length(text) = 0 THEN 'rejected_empty'
+            WHEN length(text) > 520 THEN 'rejected_oversize'
+            WHEN lang NOT IN ('en', 'de', 'fr') THEN 'rejected_type'
+            ELSE 'valid' END AS validity,
+       count(*) AS n
+FROM documents GROUP BY 1 ORDER BY validity
+"""
+
+
+# --------------------------------------------------------------------------
+# F9 — JSON parse with null-routing of unparseable rows (reference
+# pdf_extractor.py:342-363: json.loads + validate, failures routed out).
+def q_json_parse(spark: SparkSession, sf: str) -> DataFrame:
+    ev = T(spark, sf, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k bigint").alias("p"),
+    )
+    return (
+        parsed.select("event_type", F.col("p.k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_unparsed"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_JSON_PARSE = """
+WITH p AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed,
+       CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# A6+ — rollup over the batch-summary dimensions (grouping-sets capability;
+# the reference's per-job + global stats endpoints collapsed into one query).
+def q_rollup_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    orders = T(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+_SQL_ROLLUP = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+QUERIES.update(
+    {
+        "validity_filters": (q_validity_filters, _SQL_VALIDITY),
+        "json_parse": (q_json_parse, _SQL_JSON_PARSE),
+        "rollup_order_stats": (q_rollup_order_stats, _SQL_ROLLUP),
+    }
+)
