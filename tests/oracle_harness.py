@@ -30,9 +30,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
-        if pd.api.types.is_float_dtype(s):
-            df[c] = s.round(9)
-        elif pd.api.types.is_datetime64_any_dtype(s):
+        if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).dt.tz_localize(None)
         else:
             try:
@@ -55,9 +53,11 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> Tuple[bool, str]
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # EXACT float equality: the driver hashes values, so any ulp
+            # difference between Spark and DuckDB is a failure there too
             av = pd.to_numeric(av, errors="coerce").astype(float)
             bv = pd.to_numeric(bv, errors="coerce").astype(float)
-            bad = ~((av == bv) | (av.isna() & bv.isna()) | ((av - bv).abs() < 1e-9))
+            bad = ~((av == bv) | (av.isna() & bv.isna()))
         else:
             bad = av.astype(str) != bv.astype(str)
         if bad.any():
