@@ -32,21 +32,40 @@ def sniff_layout(text: str) -> bool:
     return head.startswith("{") and '"elements"' in text[:256]
 
 
+def _num(v: Any, default: float = 0.0) -> float:
+    """Safe float coercion (malformed payloads must degrade, not raise —
+    the reference's defensive coercion at opendataloader_extractor.py:144-171)."""
+    if isinstance(v, bool):
+        return default
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return default
+    return default
+
+
 def _bbox(elem: Dict[str, Any]) -> Dict[str, float]:
-    bb = elem.get("bbox") or {}
+    bb = elem.get("bbox")
+    if not isinstance(bb, dict):
+        bb = {}
     return {
-        "x1": float(bb.get("x1", 0.0)),
-        "y1": float(bb.get("y1", 0.0)),
-        "x2": float(bb.get("x2", 0.0)),
-        "y2": float(bb.get("y2", 0.0)),
+        "x1": _num(bb.get("x1", 0.0)),
+        "y1": _num(bb.get("y1", 0.0)),
+        "x2": _num(bb.get("x2", 0.0)),
+        "y2": _num(bb.get("y2", 0.0)),
     }
 
 
 def _render_table(elem: Dict[str, Any]) -> str:
     """caption + rows; each row's cells joined ' | ' in sorted-key order."""
-    rows = elem.get("table_data") or []
+    rows = elem.get("table_data")
+    if not isinstance(rows, list):
+        rows = []
     lines: List[str] = []
-    caption = (elem.get("text") or "").strip()
+    caption = str(elem.get("text") or "").strip()
     if caption:
         lines.append(caption)
     for row in rows:
@@ -75,7 +94,7 @@ def extract_layout(text: str) -> Optional[Dict[str, object]]:
     def order_key(ie):
         idx, e = ie
         bb = _bbox(e)
-        page = int(e.get("page", 1) or 1)
+        page = int(_num(e.get("page", 1), 1.0))
         col = 0 if bb["x1"] < PAGE_HALF_WIDTH else 1
         return (page, col, bb["y1"], bb["x1"], idx)
 
@@ -88,13 +107,15 @@ def extract_layout(text: str) -> Optional[Dict[str, object]]:
     for span_idx, (orig_idx, elem) in enumerate(ordered):
         etype = str(elem.get("type", "paragraph"))
         kind = _KIND_MAP.get(etype, "paragraph")
-        page = int(elem.get("page", 1) or 1)
+        page = int(_num(elem.get("page", 1), 1.0))
         if kind == "table":
             rendered = _render_table(elem)
-            tables.append({"data": elem.get("table_data") or []})
+            rows = elem.get("table_data")
+            tables.append({"data": rows if isinstance(rows, list) else []})
             text_out = rendered
         else:
-            text_out = " ".join(str(elem.get("text", "")).split())
+            raw = elem.get("text", "")
+            text_out = " ".join(str(raw if raw is not None else "").split())
             if kind == "heading":
                 heading_count += 1
         if not text_out:
