@@ -75,10 +75,12 @@ def extract_turn(text: Optional[str], tool: Optional[str] = None) -> Dict[str, A
     text = text.replace("\r\n", "\n").replace("\r", "\n")
 
     # ---- structural parse (primary path) ----
+    plain_primary = False  # primary parse was the plain segmenter
     if layout.sniff_layout(text):
         parsed = layout.extract_layout(text)
         if parsed is None:  # unusable JSON → degrade, mark partial
             parsed = noise.segment_plain(text)
+            plain_primary = True
             status = "partial"
             error = error or "layout_parse_error"
     elif looks_like_html(text):
@@ -87,6 +89,7 @@ def extract_turn(text: Optional[str], tool: Optional[str] = None) -> Dict[str, A
         parsed = noise.strip_noise(text)
     else:
         parsed = noise.segment_plain(text)
+        plain_primary = True
 
     quality = calculate_quality_score(
         text_length=len(parsed["text"]),
@@ -102,7 +105,14 @@ def extract_turn(text: Optional[str], tool: Optional[str] = None) -> Dict[str, A
         result = parsed
     else:
         route = "fallback"
-        result = noise.segment_plain(noise.strip_tags(text))
+        # fallback = plain segmentation of tag-stripped raw text; when the
+        # primary parse was already the plain segmenter and there is nothing
+        # to strip, the result is identical by construction — skip the
+        # recompute (pure optimization, same output)
+        if plain_primary and not noise.has_tags(text):
+            result = parsed
+        else:
+            result = noise.segment_plain(noise.strip_tags(text))
 
     extracted = _nfkd(result["text"])
     spans = [

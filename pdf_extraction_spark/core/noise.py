@@ -164,3 +164,8 @@ def strip_noise(text: str) -> Dict[str, object]:
 def strip_tags(text: str) -> str:
     """Crude tag removal for the fallback path (raw-bytes analogue)."""
     return _TAG_STRIP_RE.sub(" ", text)
+
+
+def has_tags(text: str) -> bool:
+    """True iff strip_tags would change the text."""
+    return _TAG_STRIP_RE.search(text) is not None

@@ -17,6 +17,13 @@ Stages (SURVEY.md §7):
      writes data partitions (dynamic overwrite → idempotent re-run) and then
      appends its lineage rows. A crash between waves loses at most one
      uncommitted wave; resume re-runs only missing buckets.
+     DEFAULT n_waves=1: each wave is a full input scan when the input is not
+     bucket-partitioned (the bucket filter can't push down a computed
+     column), so multi-wave commit is only worth it when (a) the input IS
+     Iceberg bucket(conv_id)-partitioned — then the filter prunes at the
+     manifest level — or (b) the run is long enough that losing a whole run
+     to a cluster failure costs more than the extra scans. Within one wave,
+     Spark task retries already absorb transient failures.
   6. metrics            — one groupBy aggregation per run (replaces the
      reference's row-at-a-time batch_jobs counters,
      app/db/batch_jobs.py:86-183).
@@ -110,7 +117,7 @@ def run_extraction(
     run_id: str,
     n_buckets: int = 32,
     salt_turns: int = 1000,
-    n_waves: int = 4,
+    n_waves: int = 1,
     partitions: Optional[int] = None,
     resume: bool = True,
 ) -> dict:
