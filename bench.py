@@ -53,10 +53,12 @@ def bench_extraction(spark, workdir: str) -> dict:
     from pdf_extraction_spark.plans.pipeline import run_extraction
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    tin = os.path.join(workdir, "transcripts")
+    tin = os.environ.get("BENCH_DATA_DIR") or os.path.join(workdir, "transcripts")
     tout = os.path.join(workdir, "out")
-    # generation is distributed and NOT timed
-    fixtures.transcripts_spark(spark, N_CONVS, rich=RICH).write.mode("overwrite").parquet(tin)
+    # generation is distributed and NOT timed; BENCH_DATA_DIR lets callers
+    # (bench_scaling.py) generate once and share across parallelism levels
+    if not os.path.exists(os.path.join(tin, "_SUCCESS")):
+        fixtures.transcripts_spark(spark, N_CONVS, rich=RICH).write.mode("overwrite").parquet(tin)
 
     transcripts = spark.read.parquet(tin)
 

@@ -30,7 +30,6 @@ LEVELS = tuple(int(x) for x in os.environ.get("BENCH_LEVELS", "2,8").split(","))
 
 def run_level(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    env.setdefault("BENCH_N_CONVS", "16000")  # bigger job: amortize fixed costs
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
          os.path.join(HERE, "bench.py"), "--extraction-only"],
@@ -41,7 +40,12 @@ def run_level(cpus: int) -> dict:
 
 
 def main() -> None:
-    results = {c: run_level(c) for c in LEVELS}
+    data_dir = os.environ.setdefault(
+        "BENCH_DATA_DIR",
+        f"/dev/shm/bench_data_{os.environ.get('BENCH_N_CONVS', '8000')}_{os.environ.get('BENCH_RICH', '8')}",
+    )
+    # run the widest level first: it generates the shared input fastest
+    results = {c: run_level(c) for c in sorted(LEVELS, reverse=True)}
     tp = {c: results[c]["extraction"]["turns_per_sec"] for c in LEVELS}
     n_turns = results[LEVELS[0]]["extraction"]["n_turns"]
     lo, hi = LEVELS

@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the extraction pipeline (north rule: the job
+runs via ``spark-submit --py-files`` on a multi-executor cluster).
+
+Packaging + launch:
+
+    cd /root/repo && zip -qr /tmp/pdf_extraction_spark.zip pdf_extraction_spark
+    spark-submit --py-files /tmp/pdf_extraction_spark.zip run_job.py \
+        --input  <transcripts dir/table> \
+        --output <warehouse root> \
+        --run-id nightly-2024-01-01 \
+        --n-buckets 4096 --salt-turns 1000 --resume
+
+On a real cluster drop the --master flag (inherit from spark-submit); in
+this sandbox it defaults to local[$SPARK_GRAFT_CPUS]. The job is idempotent:
+re-running with the same --run-id resumes from the lineage ledger.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="transcript main-content extraction")
+    ap.add_argument("--input", required=True, help="transcripts parquet dir (or Iceberg table path)")
+    ap.add_argument("--output", required=True, help="warehouse root for extracted/lineage/metrics")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--n-buckets", type=int, default=256)
+    ap.add_argument("--salt-turns", type=int, default=1000)
+    ap.add_argument("--n-waves", type=int, default=1)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--resume", action="store_true", default=True)
+    ap.add_argument("--no-resume", dest="resume", action="store_false")
+    ap.add_argument("--master", default=None, help="override only for local runs")
+    args = ap.parse_args(argv)
+
+    from pdf_extraction_spark.plans.pipeline import run_extraction
+    from pdf_extraction_spark.session import build_session
+
+    spark = build_session(app_name=f"extract:{args.run_id}", master=args.master)
+    transcripts = spark.read.parquet(args.input)
+    summary = run_extraction(
+        spark,
+        transcripts,
+        args.output,
+        run_id=args.run_id,
+        n_buckets=args.n_buckets,
+        salt_turns=args.salt_turns,
+        n_waves=args.n_waves,
+        partitions=args.partitions,
+        resume=args.resume,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
