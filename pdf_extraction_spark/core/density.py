@@ -41,7 +41,9 @@ MAX_LINK_DENSITY = 0.4
 
 
 def normalize_ws(s: str) -> str:
-    return _WS_RE.sub(" ", s).strip()
+    # equivalent to re.sub(r"\s+", " ", s).strip(), verified over the BMP;
+    # str.split is a single C pass
+    return " ".join(s.split())
 
 
 def _is_boilerplate_node(node: Node) -> bool:

@@ -83,6 +83,8 @@ def decode_entities(s: str) -> str:
 
 
 def _parse_attrs(raw: str) -> Tuple[Tuple[str, str], ...]:
+    if not raw or raw.isspace():
+        return ()
     attrs: List[Tuple[str, str]] = []
     for m in _ATTR_RE.finditer(raw):
         name = m.group(1).lower()
