@@ -57,7 +57,7 @@ EXTRACTED_SCHEMA = (
     "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
     f"extracted_text string, spans {SPANS_TYPE}, quality_score double, "
     "doc_kind string, classify_method string, route string, status string, "
-    "error string"
+    "error string, extract_ms double"
 )
 
 _PASS_COLS = ["conv_id", "turn_idx", "role", "tool", "ts"]
@@ -84,16 +84,20 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if n == 0:
             continue
         outs: List[dict] = []
+        timings: List[float] = []
         texts = pdf["text"].tolist()
         tools = pdf["tool"].tolist()
         for text, tool in zip(texts, tools):
+            t0 = time.perf_counter()
             try:
                 outs.append(extract_turn(text, tool if isinstance(tool, str) else None))
             except Exception as exc:  # C3: a poison row must not kill the task
                 outs.append({**_FAILED_ROW, "error": f"extract_error:{type(exc).__name__}"})
+            timings.append((time.perf_counter() - t0) * 1000.0)
         res = pdf[_PASS_COLS].copy()
         for col in _OUT_COLS:
             res[col] = [o[col] for o in outs]
+        res["extract_ms"] = timings
         yield res
 
 
@@ -181,6 +185,7 @@ def _write_metrics(io: TableIO, run_id: str, elapsed_s: float) -> None:
             F.sum(F.when(F.col("status") == "partial", 1).otherwise(0)).alias("n_partial"),
             F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("n_failed"),
             F.avg("quality_score").alias("avg_quality"),
+            F.percentile_approx("extract_ms", 0.95).alias("p95_extract_ms"),
         )
         .withColumn("run_id", F.lit(run_id))
         .withColumn(
@@ -188,7 +193,7 @@ def _write_metrics(io: TableIO, run_id: str, elapsed_s: float) -> None:
             (F.col("n_turns") / F.lit(max(elapsed_s, 1e-9))).cast("double"),
         )
         .select("run_id", "route", "n_turns", "n_ok", "n_partial", "n_failed",
-                "avg_quality", "throughput_turns_per_sec")
+                "avg_quality", "p95_extract_ms", "throughput_turns_per_sec")
     )
     io.write(metrics, "metrics", mode="append")
 
