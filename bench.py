@@ -34,6 +34,9 @@ HEADLINE = (
     "ann_cosine_topk",
     "sessionize",
     "token_count",
+    "json_parse",
+    "multimodal_features",
+    "rollup_order_stats",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales

@@ -124,6 +124,7 @@ def run_extraction(
     n_waves: int = 1,
     partitions: Optional[int] = None,
     resume: bool = True,
+    repartition_input: bool = True,
 ) -> dict:
     """Run the pipeline; returns a small summary dict (counts + timing)."""
     io = TableIO(spark, out_root)
@@ -145,10 +146,17 @@ def run_extraction(
         if not wave:
             continue
         wave_df = df.filter(F.col("bucket").isin([int(b) for b in wave]))
-        salted = wave_df.withColumn(
-            "salt", (F.col("turn_idx") / F.lit(salt_turns)).cast("int")
-        ).repartition(partitions, "bucket", "salt").drop("salt")
-        extracted = extract_stage(salted.drop("bucket"))
+        if repartition_input:
+            # explicit (bucket, salt) repartition: balances whale
+            # conversations across tasks and clusters the write. Disable
+            # ONLY when the input is already bucket-partitioned by an
+            # upstream writer (e.g. Iceberg bucket(conv_id)) — extraction
+            # itself is per-turn and needs no co-location, so skipping the
+            # shuffle saves a full pass over the input bytes at 100 TB.
+            wave_df = wave_df.withColumn(
+                "salt", (F.col("turn_idx") / F.lit(salt_turns)).cast("int")
+            ).repartition(partitions, "bucket", "salt").drop("salt")
+        extracted = extract_stage(wave_df.drop("bucket"))
         extracted = _with_bucket(extracted, n_buckets)
 
         io.write(extracted, "extracted", mode="overwrite_partitions", partition_by=["bucket"])
