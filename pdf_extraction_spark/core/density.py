@@ -34,8 +34,6 @@ _BOILER_CLASS_RE = re.compile(
 
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
-_WS_RE = re.compile(r"\s+")
-
 MIN_BLOCK_CHARS = 25
 MAX_LINK_DENSITY = 0.4
 
@@ -151,14 +149,7 @@ def segment_blocks(root: Node) -> List[Block]:
 
     walk(root, False)
 
-    # Bare text directly under root / body (markup-light documents)
-    def collect_stray(node: Node, boiler: bool) -> None:
-        for ch in node.children:
-            if isinstance(ch, str):
-                t = normalize_ws(ch)
-                if t:
-                    blocks.append(Block("paragraph", t, len(t), 0, 0, boiler))
-
+    # markup-light documents: fall back to the whole-document text
     if not blocks:
         text = normalize_ws(" ".join(root.iter_text()))
         if text:

@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from pdf_extraction_spark.core.classify import MEMO_PHRASES, QP_PHRASES
 from pdf_extraction_spark.functions.exprs import (
     classify_cascade_exprs,
     quality_score_expr,

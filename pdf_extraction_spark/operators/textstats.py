@@ -212,3 +212,41 @@ QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, _SQL_FINGERPRINT),
     "sessionize": (q_sessionize, _SQL_SESSIONIZE),
 }
+
+
+# --------------------------------------------------------------------------
+def q_dedup_consecutive(spark: SparkSession, sf: str) -> DataFrame:
+    """Collapse consecutive duplicate entries per key (a transcript-cleaning
+    staple: repeated identical turns / retried tool outputs). lag() window,
+    keep the first of each run; emits per-user kept/dropped counts."""
+    ev = T(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    dup = (F.col("event_type") == F.lag("event_type").over(w)).cast("int")
+    return (
+        ev.withColumn("is_dup", F.coalesce(dup, F.lit(0)))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("is_dup").alias("n_dropped"),
+            (F.count("*") - F.sum("is_dup")).alias("n_kept"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_DEDUP_CONSECUTIVE = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN event_type = lag(event_type)
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              THEN 1 ELSE 0 END AS is_dup
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(is_dup) AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(is_dup) AS BIGINT) AS n_kept
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES["dedup_consecutive"] = (q_dedup_consecutive, _SQL_DEDUP_CONSECUTIVE)
