@@ -90,10 +90,11 @@ def extract_layout(text: str) -> Optional[Dict[str, object]]:
         return None
 
     elements = [e for e in doc["elements"] if isinstance(e, dict)]
+    bbs = [_bbox(e) for e in elements]  # computed once, reused for ordering + spans
 
     def order_key(ie):
         idx, e = ie
-        bb = _bbox(e)
+        bb = bbs[idx]
         page = int(_num(e.get("page", 1), 1.0))
         col = 0 if bb["x1"] < PAGE_HALF_WIDTH else 1
         return (page, col, bb["y1"], bb["x1"], idx)
@@ -126,7 +127,7 @@ def extract_layout(text: str) -> Optional[Dict[str, object]]:
                 "kind": kind,
                 "text": text_out,
                 "page": page,
-                "bbox": _bbox(elem),
+                "bbox": bbs[orig_idx],
             }
         )
         parts.append(text_out)
