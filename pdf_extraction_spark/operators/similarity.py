@@ -183,3 +183,105 @@ QUERIES = {
     "ann_lsh_buckets": (q_ann_lsh_buckets, None),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, _SQL_NEARDUP),
 }
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the >10⁹-vector scale path. Coarse k-means
+# centroids (deterministic init, few Lloyd iterations), vectors assigned to
+# their nearest centroid list; a query scans only the n_probe nearest lists.
+# The centroid matrix is the ONLY driver-side state (k × dim floats); every
+# assignment/update is a distributed aggregation. Spark-only (iterative —
+# not SQL-expressible): correctness is a RECALL bound vs exact top-k,
+# asserted in tests/test_similarity_ivf.py.
+
+IVF_K = 16
+IVF_ITERS = 3
+IVF_NPROBE = 4
+
+
+def _dist2_expr(vec_col, centroid):
+    """Squared L2 distance to a python list centroid, as a column expr."""
+    arr = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_centroid_expr(vec_col, centroids):
+    """argmin over centroid distances via array_min + array_position —
+    LINEAR expression size. (A chained when/otherwise argmin doubles the
+    expression tree per centroid: 2^k blowup → catalyst OOM at k=16.)"""
+    dists = F.array(*[_dist2_expr(vec_col, c) for c in centroids])
+    # array_position is 1-based; first match on ties → lowest index (stable)
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_train(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
+    """Deterministic coarse k-means. Returns the centroid list (k × dim).
+    Init: the k vectors with the smallest vec_id (deterministic, no RNG —
+    Date/random are unavailable and unnecessary)."""
+    init_rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()  # k tiny rows
+    centroids = [[float(x) for x in r["embedding"]] for r in init_rows]
+    for _ in range(iters):
+        assigned = emb.select(
+            _nearest_centroid_expr(F.col("embedding"), centroids).alias("c"),
+            "embedding",
+        )
+        agg = (
+            assigned.select(
+                "c", *[F.element_at("embedding", i + 1).cast("double").alias(f"x{i}") for i in range(DIM)]
+            )
+            .groupBy("c")
+            .agg(*[F.avg(f"x{i}").alias(f"x{i}") for i in range(DIM)], F.count("*").alias("n"))
+            .collect()  # k rows — metadata-sized
+        )
+        new = list(centroids)
+        for r in agg:
+            new[r["c"]] = [r[f"x{i}"] for i in range(DIM)]
+        centroids = new
+    return centroids
+
+
+def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
+    """vec → inverted-list id. At scale this is written bucket-partitioned
+    by `ivf_list` so a probe reads only n_probe partitions."""
+    return emb.withColumn("ivf_list", _nearest_centroid_expr(F.col("embedding"), centroids))
+
+
+def ivf_search(assigned: DataFrame, centroids, query_vec, k: int = TOP_K,
+               n_probe: int = IVF_NPROBE) -> DataFrame:
+    """Probe the n_probe nearest lists, exact quantized-cosine within them."""
+    import math
+
+    def d2(c):
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c))
+
+    probe = sorted(range(len(centroids)), key=lambda i: (d2(centroids[i]), i))[:n_probe]
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("ivf_list").isin([int(p) for p in probe]))
+    scored = cand.select(
+        "vec_id",
+        _qdot(F.col("embedding"), qarr).alias("qdot"),
+        _qnorm2(F.col("embedding")).alias("qn_a"),
+        _qnorm2(qarr).alias("qn_b"),
+    ).select(
+        "vec_id",
+        F.round(F.col("qdot") / (F.sqrt("qn_a") * F.sqrt("qn_b")), 6).alias("cosine"),
+        "qdot",
+    )
+    return scored.orderBy(F.desc("qdot"), F.asc("vec_id")).limit(k).select("vec_id", "cosine")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-ANN top-k for the standard query vector (rows-only check; the
+    recall-vs-exact assertion lives in tests/test_similarity_ivf.py)."""
+    emb = T(spark, sf, "embeddings")
+    centroids = ivf_train(emb)
+    assigned = ivf_assign(emb.filter(F.col("vec_id") != QUERY_VEC_ID), centroids)
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0]["embedding"]
+    return ivf_search(assigned, centroids, list(qv))
+
+
+QUERIES["ann_ivf_topk"] = (q_ann_ivf_topk, None)
