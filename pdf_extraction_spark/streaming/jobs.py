@@ -86,3 +86,59 @@ def stream_extraction(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_turns(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): emit each
+    (conv_id, text-hash) only the FIRST time it is seen — a streaming exact
+    dedup whose state survives across micro-batches via the checkpoint.
+
+    State per conv_id: the set of md5 hashes already emitted (bounded in
+    practice by per-conversation turn counts; at 10^12-turn scale the state
+    store is RocksDB-backed and partitioned by conv_id like everything else).
+    This is the streaming twin of the batch C1/C4 dedup ledger.
+    """
+    import hashlib
+    from typing import Iterable, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    transcripts = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    out_schema = "conv_id string, turn_idx int, text_hash string"
+    state_schema = "seen array<string>"
+
+    def dedup(key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                h = hashlib.md5((text or "").encode("utf-8")).hexdigest()
+                if h not in seen:
+                    seen.add(h)
+                    rows.append((conv_id, int(turn_idx), h))
+        state.update((sorted(seen),))
+        yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text_hash"])
+
+    deduped = transcripts.groupBy("conv_id").applyInPandasWithState(
+        dedup, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -71,3 +71,47 @@ def test_stream_extraction_matches_batch(spark, tmp_path):
     q2 = stream_extraction(spark, src, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: duplicates arriving in LATER micro-batches are
+    dropped because the state store remembers earlier ones."""
+    import datetime as dt
+
+    from pdf_extraction_spark.streaming.jobs import stream_dedup_turns
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(src)
+    t = dt.datetime(2024, 1, 1)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+    # batch 1: two convs, one internal duplicate
+    b1 = [("c1", 0, "user", "alpha", None, t), ("c1", 1, "user", "beta", None, t),
+          ("c1", 2, "user", "alpha", None, t), ("c2", 0, "user", "gamma", None, t)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    q = stream_dedup_turns(spark, src + "/b1", out, ckpt)
+    q.awaitTermination(120)
+
+    # batch 2 arrives later: all duplicates of batch 1 plus one new text
+    # (dropped as a new file into the SAME flat source dir — the file
+    # source does not recurse into subdirectories)
+    b2 = [("c1", 3, "user", "alpha", None, t), ("c2", 1, "user", "gamma", None, t),
+          ("c2", 2, "user", "delta", None, t)]
+    import glob
+
+    staging = str(tmp_path / "staging")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(staging)
+    for i, f in enumerate(glob.glob(staging + "/part-*.parquet")):
+        shutil.copy(f, os.path.join(src + "/b1", f"late-{i}.parquet"))
+    q2 = stream_dedup_turns(spark, src + "/b1", out, ckpt)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas().sort_values(["conv_id", "turn_idx"])
+    kept = list(zip(got["conv_id"], got["turn_idx"]))
+    assert ("c1", 0) in kept and ("c1", 1) in kept and ("c2", 0) in kept
+    assert ("c1", 2) not in kept          # in-batch duplicate dropped
+    assert ("c1", 3) not in kept          # CROSS-BATCH duplicate dropped (state!)
+    assert ("c2", 1) not in kept
+    assert ("c2", 2) in kept              # genuinely new text kept
