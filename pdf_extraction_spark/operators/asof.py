@@ -37,7 +37,13 @@ def asof_join_grouped(
     dim_cols: List[str],
     out_schema: str,
 ) -> DataFrame:
-    """Large×large as-of join: cogroup on key, pd.merge_asof per group."""
+    """Large×large as-of join: cogroup on key, pd.merge_asof per group.
+
+    Tie semantics: among dim rows sharing (key, dim_ts), the one with the
+    LARGEST (dim_cols...) tuple wins — merge_asof takes the last row among
+    equal keys in sort order, so sorting the right side by
+    [dim_ts, *dim_cols] makes the choice deterministic and identical to the
+    broadcast path's window ordering."""
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:
@@ -47,7 +53,7 @@ def asof_join_grouped(
             for c in dim_cols:
                 left[c] = None
             return left
-        right = right.sort_values(dim_ts, kind="mergesort")
+        right = right.sort_values([dim_ts] + dim_cols, kind="mergesort")
         merged = pd.merge_asof(
             left, right[[dim_ts] + dim_cols], left_on=fact_ts, right_on=dim_ts,
             direction="backward", allow_exact_matches=True,
@@ -67,17 +73,30 @@ def asof_join_broadcast(
     key: str,
     fact_ts: str,
     dim_ts: str,
+    fact_id_cols: Optional[List[str]] = None,
 ) -> DataFrame:
     """Small-dim as-of join: broadcast range join + row_number keep-latest.
-    A synthetic per-fact id keeps duplicate (key, ts) fact rows distinct."""
-    facts_id = facts.withColumn("_fact_id", F.monotonically_increasing_id())
+
+    ``fact_id_cols``: columns that uniquely identify a fact row. Preferred —
+    a DETERMINISTIC window key survives speculative re-execution. When None,
+    falls back to ``monotonically_increasing_id`` (safe within a single
+    non-speculative job; duplicate (key, ts) fact rows stay distinct).
+
+    Ties on dim_ts break deterministically: the window orders by desc(dim_ts)
+    then desc(all other dim columns), so the keep-latest row agrees with the
+    merge_asof path and the DuckDB ASOF oracle run-over-run."""
+    if fact_id_cols:
+        facts_id = facts.withColumn("_fact_id", F.struct(*fact_id_cols))
+    else:
+        facts_id = facts.withColumn("_fact_id", F.monotonically_increasing_id())
     dim_r = dim.withColumnRenamed(key, "_dim_key")
+    tiebreaks = [c for c in dim_r.columns if c not in ("_dim_key", dim_ts)]
     joined = facts_id.join(
         F.broadcast(dim_r),
         (F.col(key) == F.col("_dim_key")) & (F.col(dim_ts) <= F.col(fact_ts)),
         "inner",
     ).drop("_dim_key")
-    w = W.partitionBy("_fact_id").orderBy(F.desc(dim_ts))
+    w = W.partitionBy("_fact_id").orderBy(F.desc(dim_ts), *[F.desc(c) for c in tiebreaks])
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -132,7 +151,8 @@ def q_asof_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
     """Same semantics via the broadcast range-join path — must agree with
     both the grouped-map path and the oracle."""
     facts, dim = _split_events(spark, sf)
-    joined = asof_join_broadcast(facts, dim, "user_id", "ts", "snap_ts")
+    joined = asof_join_broadcast(facts, dim, "user_id", "ts", "snap_ts",
+                                 fact_id_cols=["event_id"])
     return (
         joined.groupBy("user_id")
         .agg(

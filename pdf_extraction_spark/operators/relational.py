@@ -590,3 +590,93 @@ QUERIES.update(
         "rollup_order_stats": (q_rollup_order_stats, _SQL_ROLLUP),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# C5 — review-queue "list pending" shape (reference
+# app/routers/review_queue.py:27: status='pending' listing with error_type
+# taxonomy). The lifecycle (enqueue/resolve/requeue as table updates) lives
+# in plans/review_queue.py and is pytest-covered; this query exercises the
+# same pending-derivation as an oracle-checkable read: enqueue predicates
+# classify failures, a resolved set is anti-joined away, and the pending
+# queue is summarized per error_type. Anti-join + partition-pruned scan at
+# scale (the real table is status-partitioned).
+def q_review_pending(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    enq = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") < 200, F.lit("too_short"))
+        .when(F.col("lang") != "en", F.lit("needs_translation"))
+        .alias("error_type"),
+    ).filter(F.col("error_type").isNotNull())
+    pending = enq.filter(F.col("doc_id") % 7 != 0)  # doc_id%7==0 resolved
+    return (
+        pending.groupBy("error_type")
+        .agg(
+            F.count("*").alias("n_pending"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("error_type")
+    )
+
+
+_SQL_REVIEW_PENDING = """
+WITH enq AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 200 THEN 'too_short'
+              WHEN lang <> 'en' THEN 'needs_translation' END AS error_type
+  FROM documents
+  WHERE n_chars < 200 OR lang <> 'en'
+)
+SELECT error_type, count(*) AS n_pending,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM enq WHERE doc_id % 7 <> 0
+GROUP BY error_type ORDER BY error_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Scraped-file backfill update-join (reference app/routers/batch.py:157-169
+# + migrations/008_add_scraped_file_id.sql): keyed UPDATE ... FROM filling
+# NULL gaps from a mapping table. Uses the real backfill_update_join
+# operator (plans/review_queue.py) — mapping side broadcast.
+def q_backfill_update_join(spark: SparkSession, sf: str) -> DataFrame:
+    from pdf_extraction_spark.plans.review_queue import backfill_update_join
+
+    orders = T(spark, sf, "orders")
+    customer = T(spark, sf, "customer")
+    target = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("preknown")).alias("seg"),
+    )
+    mapping = customer.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    filled = backfill_update_join(target, mapping, "o_custkey", "seg",
+                                  source_col="c_mktsegment")
+    return (
+        filled.groupBy(F.coalesce("seg", F.lit("unknown")).alias("seg"))
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy("seg")
+    )
+
+
+_SQL_BACKFILL = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'preknown' END AS seg
+  FROM orders
+)
+SELECT coalesce(t.seg, c.c_mktsegment, 'unknown') AS seg,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM t LEFT JOIN customer c ON t.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY seg
+"""
+
+
+QUERIES.update(
+    {
+        "review_pending": (q_review_pending, _SQL_REVIEW_PENDING),
+        "backfill_update_join": (q_backfill_update_join, _SQL_BACKFILL),
+    }
+)

@@ -125,22 +125,52 @@ def run_extraction(
     partitions: Optional[int] = None,
     resume: bool = True,
     repartition_input: bool = True,
+    input_fp: Optional[str] = None,
 ) -> dict:
-    """Run the pipeline; returns a small summary dict (counts + timing)."""
+    """Run the pipeline; returns a small summary dict (counts + timing).
+
+    Failure semantics (C2/C3): a wave whose Spark action raises marks every
+    bucket in that wave 'failed' (attempt N) in the ledger and the run
+    CONTINUES with the remaining waves (partial results beat dead runs).
+    On resume, failed buckets are retried until their attempt count reaches
+    ``MAX_ATTEMPTS`` (5, the reference's retry cap); after that they are
+    escalated to the ``review_queue`` table and never re-run under this
+    run_id (the reference's poison-row guarantee,
+    app/routers/extraction.py:332-355). Failure granularity is the wave —
+    run with ``n_waves == n_buckets`` for per-bucket isolation.
+
+    ``input_fp`` (optional): caller-supplied fingerprint of the input
+    (e.g. an Iceberg snapshot id). Stamped into the ledger; resuming the
+    same run_id with a different fingerprint — or a different n_buckets —
+    fails fast instead of silently skipping re-mapped buckets.
+    """
+    from pdf_extraction_spark.plans.checkpoint import MAX_ATTEMPTS
+    from pdf_extraction_spark.plans.review_queue import enqueue_buckets
+
     io = TableIO(spark, out_root)
-    ledger = Ledger(io, run_id)
+    ledger = Ledger(io, run_id, n_buckets=n_buckets, input_fp=input_fp)
     t0 = time.monotonic()
 
     df = _with_bucket(transcripts, n_buckets)
 
-    done = ledger.done_buckets() if resume else frozenset()
-    todo = sorted(set(range(n_buckets)) - done)
+    if resume:
+        state = ledger.bucket_state()  # fails fast on n_buckets/input_fp drift
+    else:
+        state = {"done": frozenset(), "retryable": frozenset(), "exhausted": frozenset()}
+    done, exhausted = state["done"], state["exhausted"]
+    # exhausted buckets found at startup may come from a previous run that
+    # crashed before escalating — enqueue is idempotent, so always sweep.
+    n_escalated = enqueue_buckets(io, run_id, sorted(exhausted)) if exhausted else 0
+    todo = sorted(set(range(n_buckets)) - done - exhausted)
     if not todo:
         return {"run_id": run_id, "buckets_done": len(done), "buckets_run": 0,
+                "buckets_failed": 0, "buckets_escalated": n_escalated,
                 "n_turns": 0, "elapsed_s": 0.0, "resumed": True}
 
     partitions = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     total_turns = 0
+    failed_buckets: List[int] = []
+    ran_buckets: List[int] = []
     waves = [todo[i::n_waves] for i in range(min(n_waves, len(todo)))]
     for wave in waves:
         if not wave:
@@ -156,35 +186,60 @@ def run_extraction(
             wave_df = wave_df.withColumn(
                 "salt", (F.col("turn_idx") / F.lit(salt_turns)).cast("int")
             ).repartition(partitions, "bucket", "salt").drop("salt")
-        extracted = extract_stage(wave_df.drop("bucket"))
-        extracted = _with_bucket(extracted, n_buckets)
+        try:
+            extracted = extract_stage(wave_df.drop("bucket"))
+            extracted = _with_bucket(extracted, n_buckets)
 
-        io.write(extracted, "extracted", mode="overwrite_partitions", partition_by=["bucket"])
+            io.write(extracted, "extracted", mode="overwrite_partitions",
+                     partition_by=["bucket"])
+        except Exception:  # wave-level failure: ledger it, keep going (C3)
+            attempt = max((ledger.attempt_of(b) for b in wave), default=0) + 1
+            ledger.mark_failed([int(b) for b in wave], attempt)
+            failed_buckets.extend(int(b) for b in wave)
+            if attempt >= MAX_ATTEMPTS:
+                n_escalated += enqueue_buckets(io, run_id, [int(b) for b in wave])
+            continue
 
         # lineage rows are computed FROM WHAT WAS WRITTEN — the ledger
         # certifies on-disk state, not in-flight state.
         written = io.read("extracted").filter(F.col("bucket").isin([int(b) for b in wave]))
         stats = ledger.bucket_stats(written)
+        # buckets with zero input rows still count as done (else they re-run
+        # on every resume forever)
+        nonempty = {s["bucket"] for s in stats}
+        stats += [{"bucket": int(b), "n_turns": 0, "checksum": 0}
+                  for b in wave if int(b) not in nonempty]
         total_turns += sum(s["n_turns"] for s in stats)
         ledger.mark_done(stats)
+        ran_buckets.extend(int(b) for b in wave)
 
     elapsed = time.monotonic() - t0
-    _write_metrics(io, run_id, elapsed)
+    _write_metrics(io, run_id, elapsed, buckets=ran_buckets, n_turns_run=total_turns)
     return {
         "run_id": run_id,
         "buckets_done": len(done),
-        "buckets_run": len(todo),
+        "buckets_run": len(ran_buckets),
+        "buckets_failed": len(failed_buckets),
+        "buckets_escalated": n_escalated,
         "n_turns": total_turns,
         "elapsed_s": round(elapsed, 3),
         "resumed": bool(done),
     }
 
 
-def _write_metrics(io: TableIO, run_id: str, elapsed_s: float) -> None:
+def _write_metrics(io: TableIO, run_id: str, elapsed_s: float,
+                   buckets: Optional[List[int]] = None,
+                   n_turns_run: int = 0) -> None:
     """Per-run metrics table (FIXTURES.md §4; reference stats A3-A6,
     app/routers/stats.py:57-260 + app/db/batch_jobs.py:127-183 collapsed
-    into one groupBy)."""
-    extracted = io.read("extracted")
+    into one groupBy). Scoped to THE BUCKETS THIS INVOCATION PROCESSED —
+    a resumed run (or a shared warehouse) must not claim the whole table's
+    rows under its own run_id, and throughput divides the turns THIS run
+    produced by THIS run's elapsed time."""
+    if not buckets:
+        return
+    extracted = io.read("extracted").filter(F.col("bucket").isin([int(b) for b in buckets]))
+    tps = n_turns_run / max(elapsed_s, 1e-9)
     metrics = (
         extracted.groupBy("route")
         .agg(
@@ -196,10 +251,7 @@ def _write_metrics(io: TableIO, run_id: str, elapsed_s: float) -> None:
             F.percentile_approx("extract_ms", 0.95).alias("p95_extract_ms"),
         )
         .withColumn("run_id", F.lit(run_id))
-        .withColumn(
-            "throughput_turns_per_sec",
-            (F.col("n_turns") / F.lit(max(elapsed_s, 1e-9))).cast("double"),
-        )
+        .withColumn("throughput_turns_per_sec", F.lit(float(tps)))
         .select("run_id", "route", "n_turns", "n_ok", "n_partial", "n_failed",
                 "avg_quality", "p95_extract_ms", "throughput_turns_per_sec")
     )

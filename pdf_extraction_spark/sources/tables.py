@@ -75,12 +75,41 @@ class TableIO:
         if partition_by:
             w = w.partitionBy(*partition_by)
         if mode == "overwrite_partitions":
-            # spark.sql.sources.partitionOverwriteMode=dynamic (session.py)
-            # replaces only the partitions present in df — the parquet
-            # equivalent of Iceberg overwrite-by-partition-filter.
-            w.mode("overwrite").parquet(self.path(name))
+            # Dynamic overwrite replaces only the partitions present in df —
+            # the parquet equivalent of Iceberg overwrite-by-partition-filter.
+            # The mode is set PER-WRITE (not inherited from the session conf):
+            # with a vanilla SparkSession the default is 'static', and a
+            # static mode('overwrite') would truncate the ENTIRE table —
+            # silently destroying buckets the ledger already marks 'done'.
+            w.option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(self.path(name))
         else:
             w.mode(mode).parquet(self.path(name))
+
+    def rewrite(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: Optional[List[str]] = None,
+    ) -> None:
+        """Update-in-place: replace table ``name`` with ``df``, where ``df``
+        may be DERIVED FROM the current table contents (read → transform →
+        rewrite). Spark cannot overwrite a path an active plan still reads
+        from, so the parquet fallback stages to ``<name>__tmp`` and swaps
+        directories. On Iceberg this whole method is a single MERGE INTO /
+        REPLACE snapshot commit (atomic, no staging dir) — the parquet swap
+        is the closest filesystem analogue (one non-atomic window between
+        remove and rename, acceptable for single-writer maintenance jobs).
+        """
+        import shutil
+
+        tmp = f"{name}__tmp"
+        w = df.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.mode("overwrite").parquet(self.path(tmp))
+        if os.path.isdir(self.path(name)):
+            shutil.rmtree(self.path(name))
+        os.rename(self.path(tmp), self.path(name))
 
 
 def load_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

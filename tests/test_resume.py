@@ -45,13 +45,13 @@ def test_interrupt_then_resume_equals_full_run(spark, small_transcripts, tmp_pat
     # marking 4-7 done, then wiping those ledger rows.
     io = TableIO(spark, part_root)
     ledger = Ledger(io, "r2")
-    fake = [{"bucket": b, "n_turns": 0, "checksum": 0} for b in range(4, 8)]
+    fake = [{"bucket": b, "n_turns": 0, "checksum": -999} for b in range(4, 8)]
     ledger.mark_done(fake)
     s2 = run_extraction(spark, small_transcripts, part_root, run_id="r2", n_buckets=8, n_waves=2)
     assert s2["resumed"] and s2["buckets_run"] == 4  # only 0-3 ran
 
     # "restart": clear the fake rows so 4-7 are no longer done, then resume
-    led = io.read("lineage").filter(~((F.col("n_turns") == 0) & (F.col("status") == "done")))
+    led = io.read("lineage").filter(F.col("checksum") != "-999")
     led_pdf = led.toPandas()
     import shutil
 
