@@ -17,8 +17,15 @@
 Scale notes: exact dedup is one shuffle on the hash. MinHash avoids the n²
 comparison: signatures are computed in ONE groupBy (k min-aggregates, no
 seed-row blowup), banding buckets the join, and the exact-Jaccard verify
-touches only candidate pairs. Skewed bands (a common shingle) are handled
-by AQE skew-join; a production hardening is capping bucket width.
+touches only candidate pairs. Degenerate band buckets (one globally-common
+shingle owning the min-hash of a band → every doc lands in one bucket →
+quadratic pair blowup) are CAPPED: buckets wider than MAX_BAND_WIDTH are
+dropped before the self-join (a count window over the exact join key, so
+the exchange is reused). The cap trades recall only on pairs whose EVERY
+matching band is degenerate — at 64 it is far above the widths organic
+near-dup clusters produce (observed max 5 at sf0.01, 22 at sf0.1) while
+bounding the worst bucket at 64² comparisons. The oracle applies the same
+cap, so correctness stays exact.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ from pdf_extraction_spark.sources.tables import load_testdata as T
 N_HASHES = 8
 SHINGLE = 3
 JACCARD_MIN = 0.1
+MAX_BAND_WIDTH = 64
 
 
 # --------------------------------------------------------------------------
@@ -79,29 +87,44 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle: int =
     return grams.join(sigs, "doc_id", "inner")
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH candidate pairs (1 row per band match, r=1 bands) verified with
-    exact shingle Jaccard; emits pairs with jaccard >= JACCARD_MIN."""
-    from pyspark.storagelevel import StorageLevel
+def lsh_band_candidates(sigs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded signatures, with the
+    hot-bucket cap applied BEFORE the self-join."""
+    from pyspark.sql import Window as W
 
-    docs = T(spark, sf, "documents")
-    # the signature stage feeds THREE consumers (bands + both jaccard join
-    # sides); persist it or Catalyst recomputes the shingle/minhash subtree
-    # per consumer (measured 25s → 3s at sf0.1)
-    sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    # unpivot mh0..mh7 → (doc_id, seed, mh)
+    # unpivot mh0..mh{k-1} → (doc_id, seed, mh)
     stack_expr = "stack({}, {}) as (seed, mh)".format(
         N_HASHES, ", ".join(f"'{s}', mh{s}" for s in range(N_HASHES))
     )
     bands = sigs.selectExpr("doc_id", stack_expr)
+    # hot-bucket cap: the count window partitions on the SAME key as the
+    # self-join below, so this adds no extra exchange — and turns a
+    # degenerate O(width²) bucket into a dropped bucket.
+    bands = (
+        bands.withColumn("_w", F.count("*").over(W.partitionBy("seed", "mh")))
+        .filter(F.col("_w") <= max_band_width)
+        .drop("_w")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(b, (F.col("a.seed") == F.col("b.seed")) & (F.col("a.mh") == F.col("b.mh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(docs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -> DataFrame:
+    """LSH candidate pairs (1 row per band match, r=1 bands) verified with
+    exact shingle Jaccard; emits pairs with jaccard >= JACCARD_MIN."""
+    from pyspark.storagelevel import StorageLevel
+
+    # the signature stage feeds THREE consumers (bands + both jaccard join
+    # sides); persist it or Catalyst recomputes the shingle/minhash subtree
+    # per consumer (measured 25s → 3s at sf0.1)
+    sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_band_candidates(sigs, max_band_width)
     ga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
     jac = (
@@ -120,6 +143,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return jac
 
 
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_lsh_pairs(T(spark, sf, "documents"))
+
+
 _SQL_MINHASH = f"""
 WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 sh AS (SELECT doc_id,
@@ -132,8 +159,11 @@ ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
 mh AS (SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || ':' || g)) AS mh
        FROM ex CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed) s
        GROUP BY doc_id, s.seed),
+mhf AS (SELECT doc_id, seed, mh FROM
+          (SELECT doc_id, seed, mh, count(*) OVER (PARTITION BY seed, mh) AS w FROM mh)
+        WHERE w <= {MAX_BAND_WIDTH}),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         FROM mh a JOIN mh b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id)
+         FROM mhf a JOIN mhf b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id)
 SELECT c.doc_a, c.doc_b,
        round(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
              / len(list_distinct(sa.grams || sb.grams)), 6) AS jaccard

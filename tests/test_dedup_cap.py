@@ -1,0 +1,61 @@
+"""Hot-shingle (degenerate LSH bucket) hardening for MinHash dedup.
+
+A boilerplate footer shared by every document puts a globally-common
+shingle's hash as the band minimum for a large fraction of the corpus —
+one band bucket then holds hundreds of docs and the band self-join goes
+quadratic. The MAX_BAND_WIDTH cap must (a) collapse that blowup and
+(b) still surface genuine near-duplicate pairs, whose matching bands come
+from their SHARED CONTENT shingles (bucket width ≈ 2, far under the cap).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.dedup import (
+    MAX_BAND_WIDTH,
+    lsh_band_candidates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+
+N_DOCS = 200
+FOOTER = " ".join(f"legal{i} boiler{i}" for i in range(30))  # 60 words → ~58 hot shingles
+
+
+@pytest.fixture(scope="module")
+def hot_docs(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for d in range(N_DOCS):
+        words = [vocab[rng.randrange(500)] for _ in range(40)]
+        rows.append((d, " ".join(words) + " " + FOOTER))
+    # one genuine near-dup pair: same base text, 1 word changed
+    base = [vocab[rng.randrange(500)] for _ in range(40)]
+    rows.append((N_DOCS, " ".join(base) + " " + FOOTER))
+    mutated = list(base)
+    mutated[3] = "changed"
+    rows.append((N_DOCS + 1, " ".join(mutated) + " " + FOOTER))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cap_collapses_hot_band_blowup(spark, hot_docs):
+    sigs = minhash_signatures(hot_docs).persist()
+    try:
+        uncapped = lsh_band_candidates(sigs, max_band_width=1 << 30).count()
+        capped = lsh_band_candidates(sigs, max_band_width=MAX_BAND_WIDTH).count()
+    finally:
+        sigs.unpersist()
+    # the footer drives most of the corpus into a handful of band buckets
+    assert uncapped > 3000, uncapped
+    # the cap drops those degenerate buckets: candidates shrink by >5×
+    assert capped * 5 < uncapped, (capped, uncapped)
+
+
+def test_true_neardup_pair_survives_cap(spark, hot_docs):
+    pairs = minhash_lsh_pairs(hot_docs, max_band_width=MAX_BAND_WIDTH)
+    hit = pairs.filter((F.col("doc_a") == N_DOCS) & (F.col("doc_b") == N_DOCS + 1)).collect()
+    assert len(hit) == 1
+    assert hit[0]["jaccard"] > 0.8  # near-identical docs
