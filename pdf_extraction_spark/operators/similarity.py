@@ -372,43 +372,46 @@ QUERIES = {
 # The centroid matrix is the ONLY driver-side state (k × dim floats); every
 # assignment/update is a distributed aggregation. Spark-only (iterative —
 # not SQL-expressible): correctness is a RECALL bound vs exact top-k,
-# asserted in tests/test_similarity_ivf.py.
+# asserted in tests/test_similarity_ivf.py (k=16 on testdata AND k=256 on a
+# clustered synthetic corpus).
 
 IVF_K = 16
 IVF_ITERS = 3
 IVF_NPROBE = 4
 
 
-def _dist2_expr(vec_col, centroid):
-    """Squared L2 distance to a python list centroid, as a column expr."""
-    arr = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _nearest_centroid_udf(centroids):
+    """Vectorized argmin over centroids: one numpy matmul per Arrow batch
+    against the k × dim matrix shipped in the task closure (131 KB at
+    k=256 — Spark's broadcast-in-closure path; at k in the tens of
+    thousands the same matrix is an explicit sc.broadcast, never a
+    Catalyst expression: a per-centroid expression tree caps k at ~low
+    hundreds and pays seconds of codegen). argmin takes the FIRST minimum
+    → lowest centroid index on ties, deterministic."""
+    C = np.array(centroids, dtype=np.float64)  # k × dim
+    c2 = (C * C).sum(axis=1)
 
+    @F.pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        M = np.array(embs.tolist(), dtype=np.float64)
+        # |x-c|² = |x|² - 2x·c + |c|²; |x|² is constant per row → drop it
+        dist = c2[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(dist.argmin(axis=1).astype("int32"))
 
-def _nearest_centroid_expr(vec_col, centroids):
-    """argmin over centroid distances via array_min + array_position —
-    LINEAR expression size. (A chained when/otherwise argmin doubles the
-    expression tree per centroid: 2^k blowup → catalyst OOM at k=16.)"""
-    dists = F.array(*[_dist2_expr(vec_col, c) for c in centroids])
-    # array_position is 1-based; first match on ties → lowest index (stable)
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return assign
 
 
 def ivf_train(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
     """Deterministic coarse k-means. Returns the centroid list (k × dim).
     Init: the k vectors with the smallest vec_id (deterministic, no RNG —
-    Date/random are unavailable and unnecessary)."""
+    Date/random are unavailable and unnecessary). Each Lloyd step is one
+    map-only assignment + one groupBy of k×dim partial means (map-side
+    combine; only k result rows reach the driver)."""
     init_rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()  # k tiny rows
     centroids = [[float(x) for x in r["embedding"]] for r in init_rows]
     for _ in range(iters):
-        assigned = emb.select(
-            _nearest_centroid_expr(F.col("embedding"), centroids).alias("c"),
-            "embedding",
-        )
+        assign = _nearest_centroid_udf(centroids)
+        assigned = emb.select(assign("embedding").alias("c"), "embedding")
         agg = (
             assigned.select(
                 "c", *[F.element_at("embedding", i + 1).cast("double").alias(f"x{i}") for i in range(DIM)]
@@ -427,7 +430,8 @@ def ivf_train(emb: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS):
 def ivf_assign(emb: DataFrame, centroids) -> DataFrame:
     """vec → inverted-list id. At scale this is written bucket-partitioned
     by `ivf_list` so a probe reads only n_probe partitions."""
-    return emb.withColumn("ivf_list", _nearest_centroid_expr(F.col("embedding"), centroids))
+    assign = _nearest_centroid_udf(centroids)
+    return emb.withColumn("ivf_list", assign("embedding"))
 
 
 def ivf_search(assigned: DataFrame, centroids, query_vec, k: int = TOP_K,

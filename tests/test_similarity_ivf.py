@@ -24,6 +24,40 @@ def test_ivf_deterministic_and_recall(spark):
     assert recall >= 0.5, f"IVF recall {recall} too low vs exact {exact} / {approx1}"
 
 
+def test_ivf_k256_clustered_recall(spark):
+    """k=256 — the regime literal-expression assignment could not reach
+    (Catalyst caps per-centroid expression trees at ~low hundreds); the
+    vectorized matmul assignment trains and probes it directly."""
+    import numpy as np
+
+    from pdf_extraction_spark.operators.similarity import ivf_search
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((256, 64)) * 5.0
+    pts = centers[:, None, :] + rng.standard_normal((256, 16, 64))
+    # interleave clusters so the deterministic init (first k by vec_id)
+    # sees one point per cluster
+    M = pts.transpose(1, 0, 2).reshape(-1, 64).astype(np.float32)
+    rows = [(int(i), [float(x) for x in M[i]]) for i in range(len(M))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    centroids = ivf_train(emb, k=256, iters=2)
+    assert len(centroids) == 256
+    assigned = ivf_assign(emb.filter(F.col("vec_id") != 0), centroids)
+    got = [r["vec_id"] for r in
+           ivf_search(assigned, centroids, [float(x) for x in M[0]],
+                      k=TOP_K, n_probe=8).collect()]
+
+    # ivf_search ranks by the quantized DOT product (like ann_cosine_topk
+    # and its SQL oracle) — mirror that here
+    Q = np.round(M.astype(np.float64) * 10000.0).astype(np.int64)
+    sims = Q @ Q[0]
+    sims[0] = np.iinfo(np.int64).min  # exclude the query itself
+    exact = set(np.argsort(-sims, kind="stable")[:TOP_K].tolist())
+    recall = len(exact & set(got)) / TOP_K
+    assert recall >= 0.9, f"k=256 recall {recall}: {sorted(exact)} vs {sorted(got)}"
+
+
 def test_ivf_lists_cover_all_vectors(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     centroids = ivf_train(emb)
