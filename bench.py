@@ -32,11 +32,15 @@ HEADLINE = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "neardup_bucketed_pairs",
     "sessionize",
     "token_count",
     "json_parse",
     "multimodal_features",
     "rollup_order_stats",
+    "exam_flatten",
+    "review_pending",
+    "backfill_update_join",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales
