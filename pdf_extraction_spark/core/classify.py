@@ -77,7 +77,9 @@ def classify_text(text: str) -> Tuple[str, float, str]:
         return ("question_paper", round(min(0.7 + 0.05 * qp_hits, 0.95), 4), "content_keywords")
 
     # Layer 3: deterministic marker-density over the full text
-    full = text.lower()
+    # (short texts: the layer-2 sample IS the full lowered text — skip the
+    # second full lower() pass; identical result)
+    full = sample if len(text) <= 3000 else text.lower()
     memo_occ = sum(full.count(p) for p in MEMO_PHRASES)
     qp_occ = sum(full.count(p) for p in QP_PHRASES)
     if memo_occ > qp_occ:

@@ -72,7 +72,8 @@ def extract_turn(text: Optional[str], tool: Optional[str] = None) -> Dict[str, A
         status = "partial"
         error = "truncated"
 
-    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    if "\r" in text:  # skip two full-copy passes on the common no-CR case
+        text = text.replace("\r\n", "\n").replace("\r", "\n")
 
     # ---- structural parse (primary path) ----
     plain_primary = False  # primary parse was the plain segmenter

@@ -140,13 +140,14 @@ def segment_plain(text: str) -> Dict[str, object]:
     blocks: List[List[str]] = []
     cur: List[str] = []
     for line in text.split("\n"):
-        if not line.strip():
+        s = line.strip()
+        if not s:
             if cur:
                 blocks.append(cur)
                 cur = []
             continue
         # headings and table rows are block boundaries of their own
-        if _HEADING_RE.match(line.strip()) and cur:
+        if cur and _HEADING_RE.match(s):
             blocks.append(cur)
             cur = []
         cur.append(line)
