@@ -94,15 +94,40 @@ def stream_dedup_turns(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
+    state_ttl_minutes: float = 24 * 60,
+    state_cap: int = 100_000,
 ):
     """Custom STATEFUL streaming operator (applyInPandasWithState): emit each
     (conv_id, text-hash) only the FIRST time it is seen — a streaming exact
     dedup whose state survives across micro-batches via the checkpoint.
 
-    State per conv_id: the set of md5 hashes already emitted (bounded in
-    practice by per-conversation turn counts; at 10^12-turn scale the state
-    store is RocksDB-backed and partitioned by conv_id like everything else).
-    This is the streaming twin of the batch C1/C4 dedup ledger.
+    State per conv_id: the APPEND-ONLY list of md5 hashes already emitted —
+    each micro-batch appends only the batch's new hashes (no re-sort, no
+    full rewrite of prior entries), membership is a vectorized
+    ``Series.isin`` against the existing list, and which row wins an
+    in-batch duplicate is deterministic (lowest ``turn_idx``; the group's
+    row order within a micro-batch is not guaranteed, so it is sorted).
+    Two bounds keep state finite for long-lived conversations:
+
+    - ``state_ttl_minutes``: an expiry timestamp stored IN the state — a
+      conversation idle past the TTL has its hash set discarded on next
+      touch (its next message re-opens a fresh window, the same trade
+      Kafka-compaction dedup makes). The TTL is state-resident rather than
+      a GroupStateTimeout because ``Trigger.AvailableNow`` (this batch-
+      incremental deployment) cannot finish a run while engine timeouts
+      are registered — the post-data "cleaning up state" batch blocks until
+      they fire (measured: the run never terminates). A continuous
+      (processingTime-trigger) deployment flips to ProcessingTimeTimeout +
+      ``state.remove()`` so idle keys leave the RocksDB store eagerly;
+    - ``state_cap``: FIFO eviction of the oldest hashes past the cap — a
+      duplicate of an evicted hash would re-emit, bounding memory at the
+      cost of very-long-range recall.
+
+    Each emitted row carries ``state_size`` (post-update |seen|) as
+    telemetry, so state growth is observable from the sink itself. At
+    10^12-turn scale the state store is RocksDB-backed and partitioned by
+    conv_id like everything else. This is the streaming twin of the batch
+    C1/C4 dedup ledger.
     """
     import hashlib
     from typing import Iterable, Iterator, Tuple
@@ -116,20 +141,35 @@ def stream_dedup_turns(
         .parquet(src_dir)
     )
 
-    out_schema = "conv_id string, turn_idx int, text_hash string"
-    state_schema = "seen array<string>"
+    out_schema = "conv_id string, turn_idx int, text_hash string, state_size int"
+    state_schema = "expires_at bigint, seen array<string>"
+    ttl_ms = int(state_ttl_minutes * 60 * 1000)
 
     def dedup(key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
-        rows = []
-        for pdf in pdfs:
-            for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                h = hashlib.md5((text or "").encode("utf-8")).hexdigest()
-                if h not in seen:
-                    seen.add(h)
-                    rows.append((conv_id, int(turn_idx), h))
-        state.update((sorted(seen),))
-        yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text_hash"])
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        seen_list: list = []
+        if state.exists:
+            expires_at, seen = state.get
+            if now_ms <= expires_at:  # window still live; else fresh window
+                seen_list = list(seen)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("turn_idx", kind="mergesort")
+        hashes = pdf["text"].fillna("").map(
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+        )
+        pdf = pdf.assign(text_hash=hashes.values)
+        fresh = pdf[~pdf["text_hash"].isin(seen_list)].drop_duplicates(
+            "text_hash", keep="first"
+        )
+        new_seen = seen_list + fresh["text_hash"].tolist()  # incremental append
+        if len(new_seen) > state_cap:
+            new_seen = new_seen[-state_cap:]  # FIFO eviction
+        state.update((now_ms + ttl_ms, new_seen))
+        out = fresh[["conv_id", "turn_idx", "text_hash"]].copy()
+        out["state_size"] = len(new_seen)
+        yield out
 
     deduped = transcripts.groupBy("conv_id").applyInPandasWithState(
         dedup, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

@@ -115,3 +115,81 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     assert ("c1", 3) not in kept          # CROSS-BATCH duplicate dropped (state!)
     assert ("c2", 1) not in kept
     assert ("c2", 2) in kept              # genuinely new text kept
+
+
+def _drop_batch(spark, tmp_path, src, schema, batch_rows, i):
+    """Write one batch as a single file into the stream source dir; with
+    maxFilesPerTrigger=1 each file becomes its own micro-batch (sequential
+    mtimes + lexicographic names keep the batch order deterministic)."""
+    import glob
+    import time as _time
+
+    staging = str(tmp_path / f"stage_{os.path.basename(src)}_{i}")
+    spark.createDataFrame(batch_rows, schema).coalesce(1).write.parquet(staging)
+    for j, f in enumerate(sorted(glob.glob(staging + "/part-*.parquet"))):
+        shutil.copy(f, os.path.join(src, f"b{i}-{j}.parquet"))
+    _time.sleep(1.1)  # distinct mtimes → stable file-source ordering
+
+
+def test_stateful_dedup_three_batches_telemetry_and_cap(spark, tmp_path):
+    """3 micro-batches in one availableNow run (maxFilesPerTrigger=1):
+    state grows incrementally (observable via the state_size telemetry
+    column), output is exactly the first-seen set, and the FIFO state cap
+    re-admits evicted hashes (bounded memory)."""
+    import datetime as dt
+
+    from pdf_extraction_spark.streaming.jobs import stream_dedup_turns
+
+    t = dt.datetime(2024, 1, 1)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop_batch(spark, tmp_path, src, schema,
+                [("c", 0, "user", "a", None, t), ("c", 1, "user", "b", None, t)], 1)
+    _drop_batch(spark, tmp_path, src, schema,
+                [("c", 2, "user", "b", None, t), ("c", 3, "user", "cc", None, t)], 2)
+    _drop_batch(spark, tmp_path, src, schema,
+                [("c", 4, "user", "a", None, t), ("c", 5, "user", "d", None, t)], 3)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = stream_dedup_turns(spark, src, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out).toPandas().sort_values("turn_idx")
+    assert list(got["turn_idx"]) == [0, 1, 3, 5]  # first-seen only
+    # telemetry: post-update state size at each micro-batch (2, 3, 4 hashes)
+    assert list(got["state_size"]) == [2, 2, 3, 4]
+
+    # FIFO cap: with state_cap=2 an evicted hash is re-admitted (re-emitted)
+    src2, out2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "out2"), str(tmp_path / "ck2")
+    os.makedirs(src2)
+    _drop_batch(spark, tmp_path, src2, schema,
+                [("c", 0, "user", "a", None, t), ("c", 1, "user", "b", None, t)], 1)
+    _drop_batch(spark, tmp_path, src2, schema, [("c", 2, "user", "cc", None, t)], 2)
+    _drop_batch(spark, tmp_path, src2, schema, [("c", 3, "user", "a", None, t)], 3)
+
+    q2 = stream_dedup_turns(spark, src2, out2, ckpt2,
+                            max_files_per_trigger=1, state_cap=2)
+    q2.awaitTermination(300)
+
+    got2 = spark.read.parquet(out2).toPandas().sort_values("turn_idx")
+    assert list(got2["turn_idx"]) == [0, 1, 2, 3]  # turn 3 re-emits: evicted
+    assert (got2["state_size"] <= 2).all()
+
+    # TTL: a conversation idle past the TTL forgets its window — the same
+    # text re-emits after expiry (state_size resets to the fresh window)
+    import time as _time
+
+    src3, out3, ckpt3 = str(tmp_path / "src3"), str(tmp_path / "out3"), str(tmp_path / "ck3")
+    os.makedirs(src3)
+    _drop_batch(spark, tmp_path, src3, schema, [("c", 0, "user", "a", None, t)], 1)
+    stream_dedup_turns(spark, src3, out3, ckpt3,
+                       state_ttl_minutes=0.02).awaitTermination(120)  # 1.2 s TTL
+    _time.sleep(2.0)
+    _drop_batch(spark, tmp_path, src3, schema, [("c", 1, "user", "a", None, t)], 2)
+    stream_dedup_turns(spark, src3, out3, ckpt3,
+                       state_ttl_minutes=0.02).awaitTermination(120)
+
+    got3 = spark.read.parquet(out3).toPandas().sort_values("turn_idx")
+    assert list(got3["turn_idx"]) == [0, 1]      # duplicate re-emitted post-TTL
+    assert list(got3["state_size"]) == [1, 1]    # window RESET, not grown
