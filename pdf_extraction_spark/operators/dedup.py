@@ -215,3 +215,124 @@ QUERIES = {
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, _SQL_MINHASH),
     "dedup_simhash_buckets": (q_simhash_buckets, None),
 }
+
+
+# --------------------------------------------------------------------------
+# Near-dup CLUSTERING: pairs → connected components → canonical keeper.
+# The step a production dedup pipeline runs after pair generation (keep one
+# doc per duplicate cluster, drop the rest). Spark form: iterative min-label
+# propagation over the pair graph — each round is one shuffle
+# (join + groupBy min); rounds are bounded by the cluster diameter, which
+# for near-dup cliques is tiny (2-3). The driver touches ONE scalar per
+# round (the convergence count). The DuckDB oracle computes the same
+# components with a recursive transitive-closure CTE — feasible because
+# verified near-dup pair sets are sparse (vertices ≪ corpus).
+
+MAX_LABEL_ROUNDS = 20
+
+
+def neardup_clusters(pairs: DataFrame) -> DataFrame:
+    """(doc_id, keeper) for every doc in a duplicate cluster; keeper is the
+    cluster's min doc_id. ``pairs`` must have (doc_a, doc_b) with
+    doc_a < doc_b."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(MAX_LABEL_ROUNDS):
+        # neighbor minimum, one shuffle round
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()  # ONE scalar per round
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("keeper"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster the verified MinHash near-dup pairs; per cluster report the
+    keeper, member count, and dropped-doc count (the dedup decision)."""
+    pairs = q_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
+    clusters = neardup_clusters(pairs)
+    return (
+        clusters.groupBy("keeper")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("keeper")
+    )
+
+
+_SQL_CLUSTERS = f"""
+WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(w) >= {SHINGLE}
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in generate_series(1, len(w)-{SHINGLE - 1})])
+              ELSE [] END AS grams
+       FROM ws),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+mh AS (SELECT doc_id, s.seed, min(md5(CAST(s.seed AS VARCHAR) || ':' || g)) AS mh
+       FROM ex CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed) s
+       GROUP BY doc_id, s.seed),
+mhf AS (SELECT doc_id, seed, mh FROM
+          (SELECT doc_id, seed, mh, count(*) OVER (PARTITION BY seed, mh) AS w FROM mh)
+        WHERE w <= {MAX_BAND_WIDTH}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM mhf a JOIN mhf b ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+        / len(list_distinct(sa.grams || sb.grams)) >= {JACCARD_MIN}
+),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.a, e.dst FROM r JOIN edges e ON r.b = e.src WHERE e.dst <> r.a
+  )
+  SELECT a, b FROM r
+),
+labels AS (
+  SELECT v.doc_id, least(v.doc_id, coalesce(min(r.b), v.doc_id)) AS keeper
+  FROM (SELECT DISTINCT src AS doc_id FROM edges) v
+  LEFT JOIN reach r ON r.a = v.doc_id
+  GROUP BY v.doc_id
+)
+SELECT keeper, count(*) AS n_members,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM labels GROUP BY keeper ORDER BY keeper
+"""
+
+
+QUERIES["dedup_clusters"] = (q_dedup_clusters, _SQL_CLUSTERS)

@@ -61,6 +61,19 @@ def test_quality_route_has_no_python_udf(spark):
         assert "MapInPandas" not in plan
 
 
+def test_neardup_bucketed_never_goes_cartesian(spark):
+    """The bucketed near-dup path must stay a keyed (band,bucket) join with
+    an Arrow-vectorized signature stage — never a cartesian/nested-loop
+    product (the O(n²) failure mode it exists to replace)."""
+    from pdf_extraction_spark.operators.similarity import q_neardup_bucketed_pairs
+
+    plan = plan_of(q_neardup_bucketed_pairs(spark, SF))
+    assert "ArrowEvalPython" in plan          # vectorized signature + verify
+    assert "Window" in plan                    # bucket-width cap
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_no_per_row_python_udfs_in_codebase():
     """CI guard (SURVEY.md §7): hot-path code never registers row-at-a-time
     Python UDFs; Python enters only via mapInPandas/pandas_udf."""
