@@ -279,19 +279,22 @@ def neardup_bucketed_pairs(
     threshold: float = NEARDUP_COSINE,
 ) -> DataFrame:
     """LSH-bucketed near-duplicate pairs with exact cosine verification."""
-    from pyspark.sql import Window as W
     from pyspark.storagelevel import StorageLevel
 
-    # persist: the (band,bucket) rows feed the width window AND both sides
-    # of the self-join — without it the signature subtree runs three times
+    # persist: the (band,bucket) rows feed the width aggregation AND both
+    # sides of the self-join — without it the signature subtree runs thrice
     bands = lsh_band_signatures(emb, n_bands, planes_per_band).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    bands_ok = (
-        bands.withColumn("_w", F.count("*").over(W.partitionBy("band", "bucket")))
-        .filter(F.col("_w") <= max_bucket_width)
-        .drop("_w")
+    # width cap via broadcast anti-join with the (tiny, usually empty)
+    # over-cap bucket set — map-side drop, no sort of the join inputs
+    hot = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_w"))
+        .filter(F.col("_w") > max_bucket_width)
+        .select("band", "bucket")
     )
+    bands_ok = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a = bands_ok.alias("a")
     b = bands_ok.alias("b")
     cand = (

@@ -69,7 +69,7 @@ def test_neardup_bucketed_never_goes_cartesian(spark):
 
     plan = plan_of(q_neardup_bucketed_pairs(spark, SF))
     assert "ArrowEvalPython" in plan          # vectorized signature + verify
-    assert "Window" in plan                    # bucket-width cap
+    assert "LeftAnti" in plan                  # bucket-width cap (broadcast anti-join)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
