@@ -24,17 +24,12 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Tuple
 
-# reference document_classifier.py:23-33
-_MEMO_NAME_PATTERNS = [
-    re.compile(r"\bMG\b", re.IGNORECASE),
-    re.compile(r"\bmemo\b", re.IGNORECASE),
-    re.compile(r"\bmarking\b", re.IGNORECASE),
-    re.compile(r"\bmemorandum\b", re.IGNORECASE),
-]
-_QP_NAME_PATTERNS = [
-    re.compile(r"\bQP\b", re.IGNORECASE),
-    re.compile(r"\bquestion[_\s]?paper\b", re.IGNORECASE),
-]
+# reference document_classifier.py:23-33 — the per-name patterns collapsed
+# into one alternation each (same word-boundary semantics, one scan instead
+# of four/two; "memo" subsumes "memorandum" under \b..\b prefix matching is
+# NOT true — \bmemo\b does not match "memorandum" — so both alternates stay)
+_MEMO_NAME_RE = re.compile(r"\b(?:MG|memo|marking|memorandum)\b", re.IGNORECASE)
+_QP_NAME_RE = re.compile(r"\b(?:QP|question[_\s]?paper)\b", re.IGNORECASE)
 
 # reference document_classifier.py:67-83
 MEMO_PHRASES = [
@@ -60,8 +55,8 @@ def classify_text(text: str) -> Tuple[str, float, str]:
     # Layer 1: first line as the filename analogue
     first_line = text[: text.find("\n")] if "\n" in text[:200] else text[:200]
     first_line = first_line[:200]
-    memo_name = any(p.search(first_line) for p in _MEMO_NAME_PATTERNS)
-    qp_name = any(p.search(first_line) for p in _QP_NAME_PATTERNS)
+    memo_name = _MEMO_NAME_RE.search(first_line) is not None
+    qp_name = _QP_NAME_RE.search(first_line) is not None
     if memo_name and not qp_name:
         return ("memo", 0.9, "filename")
     if qp_name and not memo_name:
