@@ -155,6 +155,95 @@ FROM m GROUP BY media_type ORDER BY media_type
 """
 
 
+TRANSFORM_SCHEMA = (
+    "doc_id bigint, media_type string, out_bytes bigint, n_frames int"
+)
+
+FRAME_EVERY_MS = 250
+
+
+def media_transform_stats(media: DataFrame, fake: bool = True) -> DataFrame:
+    """The resize / frame-sample plumbing as one Arrow-batched map-only
+    stage: images are resized to their meta (width, height), videos are
+    frame-sampled every FRAME_EVERY_MS over meta.duration_ms, audio passes
+    through. Emits size/count stats so the deterministic fakes are
+    oracle-checkable (their output sizes are closed-form in the input
+    length — swapping in real codecs keeps the stage shape)."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes: List[int] = []
+            n_frames: List[int] = []
+            for payload, mt, meta in zip(pdf["payload"], pdf["media_type"], pdf["meta"]):
+                b = bytes(payload) if payload is not None else b""
+                if mt == "image":
+                    out = resize_image(b, meta["width"], meta["height"], fake=fake)
+                    out_bytes.append(len(out))
+                    n_frames.append(1)
+                elif mt == "video":
+                    frames = sample_frames(b, FRAME_EVERY_MS, meta["duration_ms"], fake=fake)
+                    out_bytes.append(sum(len(f) for f in frames))
+                    n_frames.append(len(frames))
+                else:  # audio: passthrough
+                    out_bytes.append(len(b))
+                    n_frames.append(1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "out_bytes": out_bytes,
+                    "n_frames": n_frames,
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload", "meta").mapInPandas(
+        run, TRANSFORM_SCHEMA
+    )
+
+
+def q_multimodal_transform(spark: SparkSession, sf: str) -> DataFrame:
+    stats = media_transform_stats(synth_media(spark, sf), fake=True)
+    return (
+        stats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("out_bytes").alias("total_out_bytes"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )
+
+
+# The fakes' output sizes are closed-form in octet_length(payload):
+#   resize  → payload[:max(1, min(nb, w*h))]           → min(nb, w*h) bytes
+#   frames  → n = max(1, dur//250); step = max(1, nb//n);
+#             Σ len(payload[i*step:(i+1)*step])        → min(n*step, nb)
+_SQL_MULTIMODAL_TRANSFORM = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         octet_length(encode(text)) AS nb,
+         doc_id % 640 + 16 AS w, doc_id % 480 + 16 AS h,
+         doc_id % 10000 AS dur
+  FROM documents
+), t AS (
+  SELECT media_type,
+    CASE media_type
+      WHEN 'image' THEN least(nb, w * h)
+      WHEN 'video' THEN least(greatest(1, dur // {FRAME_EVERY_MS})
+                              * greatest(1, nb // greatest(1, dur // {FRAME_EVERY_MS})), nb)
+      ELSE nb END AS out_bytes,
+    CASE media_type WHEN 'video' THEN greatest(1, dur // {FRAME_EVERY_MS}) ELSE 1 END AS n_frames
+  FROM m
+)
+SELECT media_type, count(*) AS n,
+       CAST(sum(out_bytes) AS BIGINT) AS total_out_bytes,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames
+FROM t GROUP BY media_type ORDER BY media_type
+"""
+
+
 QUERIES = {
     "multimodal_features": (q_multimodal_features, _SQL_MULTIMODAL),
+    "multimodal_transform": (q_multimodal_transform, _SQL_MULTIMODAL_TRANSFORM),
 }

@@ -71,3 +71,31 @@ def test_metadata_only_scan_prunes_payload(spark, tmp_path):
     plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
     read = [l for l in plan.splitlines() if l.startswith("ReadSchema")][0]
     assert "payload" not in read
+
+
+def test_transform_stats_resize_and_frames(spark):
+    """Resize / frame-sample plumbing: output sizes match the deterministic
+    fakes' closed forms per media type."""
+    from pdf_extraction_spark.operators.multimodal import (
+        FRAME_EVERY_MS,
+        media_transform_stats,
+        synth_media,
+    )
+
+    media = synth_media(spark, "/root/testdata/sf0.001")
+    rows = {r["doc_id"]: r for r in media_transform_stats(media, fake=True).collect()}
+    src = {r["doc_id"]: r for r in media.collect()}
+    assert rows.keys() == src.keys()
+    for doc_id, r in rows.items():
+        nb = len(bytes(src[doc_id]["payload"]))
+        meta = src[doc_id]["meta"]
+        if r["media_type"] == "image":
+            assert r["out_bytes"] == min(nb, meta["width"] * meta["height"])
+            assert r["n_frames"] == 1
+        elif r["media_type"] == "video":
+            n = max(1, meta["duration_ms"] // FRAME_EVERY_MS)
+            step = max(1, nb // n)
+            assert r["n_frames"] == n
+            assert r["out_bytes"] == min(n * step, nb)
+        else:
+            assert r["out_bytes"] == nb
