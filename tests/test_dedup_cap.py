@@ -74,3 +74,26 @@ def test_neardup_clusters_chain_and_islands(spark):
     )
     got = {r["doc_id"]: r["keeper"] for r in neardup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is internal: the salted join's output must equal the plain
+    join's, including under a pathologically hot key."""
+    from pdf_extraction_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(1, float(i)) for i in range(500)] + [(2, 1.0), (3, 2.0)],
+        "k long, v double",
+    )  # key 1 is hot: 500 of 502 rows
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "k long, tag string")
+    got = salted_join(facts, dim, "k").orderBy("k", "v").collect()
+    want = facts.join(dim, "k").orderBy("k", "v").collect()
+    assert got == want
+    # salt actually spreads the hot key across sub-partitions
+    from pyspark.sql import functions as F
+
+    n_salts = (
+        facts.withColumn("_salt", F.pmod(F.xxhash64("k", "v"), F.lit(8)))
+        .filter(F.col("k") == 1).select("_salt").distinct().count()
+    )
+    assert n_salts >= 4
