@@ -20,8 +20,6 @@ bucket-partitioned so a query touches 1/2^n_planes of the data.
 
 from __future__ import annotations
 
-from functools import reduce
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -126,39 +124,41 @@ FROM scored ORDER BY qdot DESC, vec_id ASC LIMIT {TOP_K}
 
 
 # --------------------------------------------------------------------------
-def _plane_component(p: int, j: int):
-    """Deterministic pseudo-random plane component in [-0.5, 0.5):
-    md5-hex → int → unit interval. Same value on every executor/run."""
-    return (
-        F.conv(F.substring(F.md5(F.lit(f"plane:{p}:{j}")), 1, 8), 16, 10).cast("double")
-        / F.lit(4294967296.0)
-        - 0.5
-    )
-
-
 def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    """Sign-LSH bucket histogram (Spark-only; rows-only correctness check).
-    bucket = Σ_p (dot(v, plane_p) > 0) << p."""
+    """Sign-LSH bucket histogram over one 8-plane table: the bucket-pruned
+    search layout (bucket = Σ_p (dot(v, plane_p) > 0) << p). Uses the
+    integer plane family (quantized dots, exact int64), so the histogram is
+    bit-identical in DuckDB — a full oracle check, not rows-only."""
     emb = T(spark, sf, "embeddings")
-
-    def plane_dot(p: int):
-        comps = F.array(*[_plane_component(p, j) for j in range(DIM)])
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), comps, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    bucket = reduce(
-        lambda a, b: a + b,
-        [F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(N_PLANES)],
-    )
+    sigs = lsh_band_signatures(emb, n_bands=1, planes_per_band=N_PLANES)
     return (
-        emb.select(bucket.alias("bucket"))
-        .groupBy("bucket")
+        sigs.groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("bucket")
     )
+
+
+_SQL_LSH_BUCKETS = f"""
+WITH planes AS (
+  SELECT pp.p, jj.j,
+         CAST(('0x' || substring(md5('plane:' || pp.p || ':' || jj.j), 1, 7)) AS INTEGER)
+           - 134217728 AS comp
+  FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) pp,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS j) jj
+),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         sum(CAST(round(CAST(e.embedding[pl.j + 1] AS DOUBLE) * 10000) AS BIGINT) * pl.comp) AS dot
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, pl.p
+),
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT bucket, count(*) AS n_vectors FROM sig GROUP BY bucket ORDER BY bucket
+"""
 
 
 NEARDUP_COSINE = 0.33
@@ -362,7 +362,7 @@ ORDER BY vec_a, vec_b
 
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, _SQL_ANN),
-    "ann_lsh_buckets": (q_ann_lsh_buckets, None),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, _SQL_LSH_BUCKETS),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, _SQL_NEARDUP),
     "neardup_bucketed_pairs": (q_neardup_bucketed_pairs, _SQL_NEARDUP_BUCKETED),
 }

@@ -33,4 +33,4 @@ def test_queries_and_oracles_consistent():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     # non-SQL-expressible ops are the documented exceptions
-    assert set(qs) - set(os_) == {"dedup_simhash_buckets", "ann_lsh_buckets", "ann_ivf_topk"}, set(qs) - set(os_)
+    assert set(qs) - set(os_) == {"dedup_simhash_buckets", "ann_ivf_topk"}, set(qs) - set(os_)
