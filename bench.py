@@ -41,6 +41,8 @@ HEADLINE = (
     "exam_flatten",
     "review_pending",
     "backfill_update_join",
+    "stratified_sample",
+    "salted_join_user_stats",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales

@@ -3,12 +3,22 @@
 is ANSI SQL runnable by DuckDB over the same parquet tables; None marks a
 non-SQL-expressible op (driver then records a rows-only check)."""
 
-from pdf_extraction_spark.operators import asof, dedup, multimodal, nested, relational, similarity, skew, textstats  # noqa: F401
+from pdf_extraction_spark.operators import (  # noqa: F401
+    asof,
+    dedup,
+    multimodal,
+    nested,
+    relational,
+    sampling,
+    similarity,
+    skew,
+    textstats,
+)
 
 
 def all_queries():
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, asof, nested, skew):
+    for mod in (relational, dedup, similarity, textstats, multimodal, asof, nested, skew, sampling):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair

@@ -1,0 +1,79 @@
+"""Deterministic sampling/split invariants + property-based check of the
+connected-components clustering against a pure-python union-find."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.dedup import neardup_clusters
+from pdf_extraction_spark.operators.sampling import (
+    SAMPLE_RATES,
+    dataset_split,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_sample_is_deterministic_and_stratified(spark, docs):
+    a = {r["doc_id"] for r in stratified_sample(docs, "doc_id", "lang", SAMPLE_RATES).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, "doc_id", "lang", SAMPLE_RATES).collect()}
+    assert a == b and a  # same rows every run — resumable sampling
+    # zero-rate stratum drops everything; rate-1.0 keeps everything
+    none = stratified_sample(docs, "doc_id", "lang", {}, default_rate=0.0).count()
+    full = stratified_sample(docs, "doc_id", "lang", {}, default_rate=1.0).count()
+    assert none == 0 and full == docs.count()
+
+
+def test_split_is_stable_under_corpus_growth(spark, docs):
+    """A row's split depends only on its own key: computing splits on a
+    subset must agree with the full corpus (no rank/count dependence)."""
+    full = {r["doc_id"]: r["split"] for r in dataset_split(docs, "doc_id").collect()}
+    sub_df = docs.filter(F.col("doc_id") % 3 == 0)
+    sub = {r["doc_id"]: r["split"] for r in dataset_split(sub_df, "doc_id").collect()}
+    assert sub and all(full[k] == v for k, v in sub.items())
+    mix = {s: 0 for s in ("train", "val", "test")}
+    for s in full.values():
+        mix[s] += 1
+    n = len(full)
+    assert 0.7 < mix["train"] / n < 0.9  # ~80/10/10
+    assert mix["val"] > 0 and mix["test"] > 0
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=40,
+    )
+)
+def test_clusters_match_union_find(spark, edges):
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["keeper"] for r in neardup_clusters(df).collect()}
+    want = _union_find(pairs)
+    assert got == want
