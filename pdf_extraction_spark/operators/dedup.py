@@ -106,7 +106,9 @@ def lsh_band_candidates(sigs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -
         .filter(F.col("_w") > max_band_width)
         .select("seed", "mh")
     )
-    bands = bands.join(F.broadcast(hot), ["seed", "mh"], "left_anti")
+    # persist the capped bands: they feed BOTH self-join sides, and without
+    # the cache each side re-runs the width agg + anti-join subtree
+    bands = bands.join(F.broadcast(hot), ["seed", "mh"], "left_anti").persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -294,7 +294,11 @@ def neardup_bucketed_pairs(
         .filter(F.col("_w") > max_bucket_width)
         .select("band", "bucket")
     )
-    bands_ok = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+    # persist: the capped bands feed both self-join sides (else each side
+    # re-runs the width agg + anti-join)
+    bands_ok = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = bands_ok.alias("a")
     b = bands_ok.alias("b")
     cand = (
