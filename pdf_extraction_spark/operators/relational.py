@@ -680,3 +680,95 @@ QUERIES.update(
         "backfill_update_join": (q_backfill_update_join, _SQL_BACKFILL),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# §2.4/§2.5/§2.7 depth: cube grouping-sets, sliding-frame window aggregate,
+# and intersect/except set operations — each a direct Catalyst capability
+# with an exact ANSI twin.
+def q_cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass
+    (map-side partial agg per set; the reference's per-dimension stats
+    endpoints collapsed further than the rollup variant)."""
+    orders = T(spark, sf, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+_SQL_CUBE = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def q_moving_avg_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-frame window: per-user 4-event moving average (ROWS BETWEEN
+    3 PRECEDING AND CURRENT ROW), reported per user at their last event.
+    One shuffle on user_id; the frame is evaluated inside the sorted
+    partition (no self-join)."""
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    wlast = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("mov_avg", F.round(F.avg("value").over(w), 6))
+        .withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("mov_avg").alias("last_mov_avg"))
+        .orderBy("user_id")
+    )
+
+
+_SQL_MOVING_AVG = """
+WITH m AS (
+  SELECT user_id,
+         round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, mov_avg AS last_mov_avg FROM m WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_except_intersect_users(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT over derived key sets: users who purchased AND
+    clicked, minus users who ever errored — the set-op surface (§2.7)
+    beyond plain UNION."""
+    ev = T(spark, sf, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    errored = ev.filter(F.col("event_type") == "error").select("user_id")
+    keep = buyers.intersect(clickers).exceptAll(errored.distinct())
+    return keep.orderBy("user_id")
+
+
+_SQL_EXCEPT_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+QUERIES.update(
+    {
+        "cube_order_stats": (q_cube_order_stats, _SQL_CUBE),
+        "moving_avg_events": (q_moving_avg_events, _SQL_MOVING_AVG),
+        "except_intersect_users": (q_except_intersect_users, _SQL_EXCEPT_INTERSECT),
+    }
+)
