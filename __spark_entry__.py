@@ -6,8 +6,9 @@
 - ``queries()``     : one entry per implemented operator (SURVEY.md §2 +
   the training-data operator set), each ``(spark, sf_dir) -> DataFrame``.
 - ``oracle_sql()``  : DuckDB-runnable ANSI SQL twins, identically aliased.
-  Ops without a portable SQL expression (xxhash64-based SimHash / sign-LSH
-  buckets, and the free-text extraction pipeline itself) are rows-only.
+  The one op without a portable SQL expression (iterative IVF ANN) is
+  rows-only; everything else — including SimHash (md5 word hashes) and
+  sign-LSH buckets (integer plane family) — has a bit-identical oracle.
 """
 
 from __future__ import annotations
@@ -52,9 +53,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from pdf_extraction_spark.cache import release_caches
     from pdf_extraction_spark.operators import all_queries
 
-    return {name: fn for name, (fn, _sql) in all_queries().items()}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # by the time the NEXT query starts, the previous one's result
+            # has been consumed — drop its tracked persisted intermediates
+            # so cached blocks don't accumulate across a long-lived session
+            # (release is always safe: a still-lazy consumer just recomputes)
+            release_caches()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

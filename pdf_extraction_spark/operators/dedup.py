@@ -9,32 +9,48 @@
                      md5 HEX STRINGS — engine-portable (identical in Spark
                      and DuckDB, no integer-hash divergence) and
                      rank-preserving, so it is a valid MinHash family.
-- simhash64        : 64-bit SimHash from xxhash64 word hashes, pure column
-                     expressions (64 bit-agg terms, fully codegen'd).
-                     Spark-only (no portable SQL oracle for xxhash64):
-                     driver records a rows-only check.
+- simhash          : 16-bit SimHash blocking prefix (top 16 bits of the
+                     64-bit fingerprint) from md5 word hashes, computed in
+                     ONE Arrow-vectorized stage (numpy bit votes; md5 is
+                     memoized per batch). md5 — not xxhash64 — so the
+                     DuckDB oracle reproduces the buckets bit-for-bit:
+                     a FULL oracle check (upgraded from rows-only in r3).
+                     The earlier column-expression form (64 F.aggregate
+                     bit-votes) was CodegenFallback — interpreted lambdas,
+                     ~10⁴ rows/s/core — and is gone.
+- neardup_clusters : verified pairs → connected components → min-id keeper,
+                     via min-label propagation WITH pointer jumping
+                     (O(log diameter) rounds) and per-round plan truncation.
 
 Scale notes: exact dedup is one shuffle on the hash. MinHash avoids the n²
 comparison: signatures are computed in ONE groupBy (k min-aggregates, no
 seed-row blowup), banding buckets the join, and the exact-Jaccard verify
 touches only candidate pairs. Degenerate band buckets (one globally-common
 shingle owning the min-hash of a band → every doc lands in one bucket →
-quadratic pair blowup) are CAPPED: buckets wider than MAX_BAND_WIDTH are
-dropped before the self-join (a count window over the exact join key, so
-the exchange is reused). The cap trades recall only on pairs whose EVERY
-matching band is degenerate — at 64 it is far above the widths organic
-near-dup clusters produce (observed max 5 at sf0.01, 22 at sf0.1) while
-bounding the worst bucket at 64² comparisons. The oracle applies the same
-cap, so correctness stays exact.
+quadratic pair blowup) are CAPPED before the self-join: the over-cap bucket
+set (tiny, usually empty) is aggregated and removed with a BROADCAST
+LEFT-ANTI join — map-side, no sort of either self-join input (a count
+window over the join key has the same semantics but sorts both sides;
+measured 1.3 s → 7 s at sf0.1). The cap trades recall only on pairs whose
+EVERY matching band is degenerate — at 64 it is far above the widths
+organic near-dup clusters produce (observed max 5 at sf0.01, 22 at sf0.1)
+while bounding the worst bucket at 64² comparisons. The oracle applies the
+same cap, so correctness stays exact.
+
+Persisted intermediates (signatures, capped bands) are registered with
+pdf_extraction_spark.cache and released at the next action boundary.
 """
 
 from __future__ import annotations
 
-from functools import reduce
+import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_extraction_spark.cache import release_caches, track
 from pdf_extraction_spark.sources.tables import load_testdata as T
 
 N_HASHES = 8
@@ -96,10 +112,7 @@ def lsh_band_candidates(sigs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -
     )
     bands = sigs.selectExpr("doc_id", stack_expr)
     # hot-bucket cap as a BROADCAST ANTI-JOIN against the over-cap bucket
-    # set: that set is tiny by definition (usually empty), so the drop is
-    # map-side and the self-join below keeps its original shape. (A count
-    # window over (seed, mh) has the same semantics but forces a full sort
-    # of BOTH self-join sides — measured 1.3 s → 7 s at sf0.1.)
+    # set — map-side; see module docstring for the rejected count-window form
     hot = (
         bands.groupBy("seed", "mh")
         .agg(F.count("*").alias("_w"))
@@ -108,7 +121,7 @@ def lsh_band_candidates(sigs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -
     )
     # persist the capped bands: they feed BOTH self-join sides, and without
     # the cache each side re-runs the width agg + anti-join subtree
-    bands = bands.join(F.broadcast(hot), ["seed", "mh"], "left_anti").persist()
+    bands = track(bands.join(F.broadcast(hot), ["seed", "mh"], "left_anti").persist())
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -127,7 +140,7 @@ def minhash_lsh_pairs(docs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -> 
     # the signature stage feeds THREE consumers (bands + both jaccard join
     # sides); persist it or Catalyst recomputes the shingle/minhash subtree
     # per consumer (measured 25s → 3s at sf0.1)
-    sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = track(minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK))
     cand = lsh_band_candidates(sigs, max_band_width)
     ga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
@@ -179,110 +192,222 @@ ORDER BY doc_a, doc_b
 
 
 # --------------------------------------------------------------------------
-def simhash_expr(text_col, bits: int = 64):
-    """64-bit SimHash as pure column expressions: per-word xxhash64, then a
-    sign-sum per bit position assembled with shiftleft/bitwise-or."""
-    words = F.array_distinct(F.split(F.lower(text_col), " "))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+# SimHash blocking prefix. A document's 64-bit SimHash is the per-bit
+# majority vote over its distinct words' 64-bit hashes; near-duplicate
+# blocking groups on the top-16-bit prefix. Since each bit votes
+# independently, computing ONLY bits 48..63 yields the identical prefix at a
+# quarter of the work. Word hash = first 16 hex chars of md5 (the one hash
+# both engines share), so the DuckDB oracle is bit-identical — and the whole
+# stage is one Arrow-vectorized pandas UDF (numpy bit matrix; md5 memoized
+# across the batch), never interpreted per-row lambdas.
 
-    def mask(b: int):
-        # bit 63 is the long sign bit: use its two's-complement literal
-        return F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+_SIMHASH_UDF = None
+_PREFIX_BITS = np.arange(48, 64, dtype=np.uint64)
 
-    def bit_vote(b: int):
-        # sum over words of +1/-1 for bit b, via aggregate (no explode)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1),
-        )
 
-    bit_cols = [F.when(bit_vote(b) > 0, mask(b)).otherwise(F.lit(0).cast("long")) for b in range(bits)]
-    return reduce(lambda a, c: a.bitwiseOR(c), bit_cols, F.lit(0).cast("long"))
+def simhash_prefix16(text_col):
+    """Top-16-bit SimHash prefix as a vectorized pandas UDF (lazy: pandas_udf
+    needs an active SparkSession at construction)."""
+    global _SIMHASH_UDF
+    if _SIMHASH_UDF is None:
+
+        @F.pandas_udf("bigint")
+        def prefix16(texts: pd.Series) -> pd.Series:
+            memo: dict = {}
+
+            def word_hash(w: str) -> int:
+                h = memo.get(w)
+                if h is None:
+                    h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+                    memo[w] = h
+                return h
+
+            out = np.zeros(len(texts), dtype=np.int64)
+            weights = (1 << np.arange(16, dtype=np.int64))
+            for i, t in enumerate(texts):
+                words = set(("" if t is None else t).lower().split(" "))
+                hs = np.fromiter((word_hash(w) for w in words), dtype=np.uint64, count=len(words))
+                bits = ((hs[:, None] >> _PREFIX_BITS) & np.uint64(1)).astype(np.int64)
+                votes = (2 * bits - 1).sum(axis=0)
+                out[i] = int(((votes > 0).astype(np.int64) * weights).sum())
+            return pd.Series(out)
+
+        _SIMHASH_UDF = prefix16
+    return _SIMHASH_UDF(text_col)
 
 
 def q_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash per doc, grouped by top-16-bit prefix (near-dup blocking key).
-    Spark-only: xxhash64 has no portable DuckDB twin (rows-only check)."""
+    """SimHash blocking buckets: docs grouped by top-16-bit prefix.
+    Full DuckDB oracle (md5 word hashes match bit-for-bit)."""
     docs = T(spark, sf, "documents")
-    sims = docs.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+    sims = docs.select("doc_id", simhash_prefix16(F.col("text")).alias("prefix"))
     return (
-        sims.withColumn("prefix", F.shiftrightunsigned("simhash", 48))
-        .groupBy("prefix")
+        sims.groupBy("prefix")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
         .orderBy("prefix")
     )
 
 
+_SQL_SIMHASH = """
+WITH ws AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w FROM documents),
+ex AS (SELECT doc_id, unnest(w) AS word FROM ws),
+h AS (SELECT doc_id, ('0x' || substring(md5(word), 1, 16))::UBIGINT AS hw FROM ex),
+votes AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (hw >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(48, 63)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sig AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1 << (b - 48) ELSE 0 END) AS BIGINT) AS prefix
+  FROM votes GROUP BY doc_id
+)
+SELECT prefix, count(*) AS n_docs, min(doc_id) AS min_doc
+FROM sig GROUP BY prefix ORDER BY prefix
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, _SQL_MINHASH),
-    "dedup_simhash_buckets": (q_simhash_buckets, None),
+    "dedup_simhash_buckets": (q_simhash_buckets, _SQL_SIMHASH),
 }
 
 
 # --------------------------------------------------------------------------
 # Near-dup CLUSTERING: pairs → connected components → canonical keeper.
 # The step a production dedup pipeline runs after pair generation (keep one
-# doc per duplicate cluster, drop the rest). Spark form: iterative min-label
-# propagation over the pair graph — each round is one shuffle
-# (join + groupBy min); rounds are bounded by the cluster diameter, which
-# for near-dup cliques is tiny (2-3). The driver touches ONE scalar per
-# round (the convergence count). The DuckDB oracle computes the same
-# components with a recursive transitive-closure CTE — feasible because
-# verified near-dup pair sets are sparse (vertices ≪ corpus).
+# doc per duplicate cluster, drop the rest). Spark form: ALTERNATING
+# LARGE-STAR / SMALL-STAR edge contraction (Kiveris, Lattanzi, Mirrokni,
+# Rastogi, Vassilvitskii: "Connected Components in MapReduce and Beyond",
+# SoCC 2014 — a published public algorithm):
+#
+#   large-star: every node links its LARGER neighbors to the minimum of its
+#               closed neighborhood;
+#   small-star: every node links its smaller neighbors (and itself) to that
+#               minimum.
+#
+# Both steps preserve connectivity; alternating them strictly shrinks a
+# potential function until the graph is a STAR FOREST whose centers are the
+# component minima — in O(log² n) rounds worst-case, a handful in practice
+# (measured: 7 rounds for a 200-edge path, diameter 200). This replaces the
+# r2 min-label propagation, which moved labels ONE hop per round (linear in
+# component diameter — long near-dup chains A~B~C~… made it both slow and,
+# past its silent 20-round cap, WRONG). Each round is two groupBy+join
+# passes over the current edge set; the driver touches one (count, xor)
+# checksum per round. The edge set is localCheckpoint'ed EVERY round:
+# persist() caches data but not the logical plan, which otherwise grows
+# per round until plan stringification OOMs the driver (r2 defect).
+# Non-convergence RAISES instead of returning split clusters.
+#
+# The DuckDB oracle computes the same components with a recursive
+# transitive-closure CTE — feasible because verified near-dup pair sets are
+# sparse (vertices ≪ corpus).
 
-MAX_LABEL_ROUNDS = 20
+MAX_CC_ROUNDS = 100  # alternation converges in O(log² n) rounds; real pair
+                     # graphs take < 10 — 100 is a raise-guard, not a cap
+
+
+def _large_star(E: DataFrame) -> DataFrame:
+    """Edges (a,b), a<b → for every node, link its larger neighbors to the
+    min of its closed neighborhood. Output stays canonical (a<b)."""
+    sym = E.union(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (
+        sym.groupBy("a").agg(F.min("b").alias("mb"))
+        .select("a", F.least("mb", "a").alias("m"))
+    )
+    # m ≤ a < b, so (m, b) is canonical and never a self-loop
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("m").alias("a"), "b")
+        .distinct()
+    )
+
+
+def _small_star(E: DataFrame) -> DataFrame:
+    """Edges (a,b), a<b → every node links its smaller neighbors and itself
+    to the min of those neighbors."""
+    d = E.select(F.col("b").alias("u"), F.col("a").alias("v"))  # v < u
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    leaves = (
+        d.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))  # m ≤ v: drop the self-loop
+        .select(F.col("m").alias("a"), F.col("v").alias("b"))
+    )
+    selfe = mins.select(F.col("m").alias("a"), F.col("u").alias("b"))
+    return leaves.union(selfe).distinct()
+
+
+def _edge_sig(E: DataFrame):
+    """(count, xor-of-xxhash64) content signature — ONE scalar action per
+    round to detect convergence (bit_xor is order-insensitive and
+    overflow-free under Spark 4 ANSI mode)."""
+    r = E.agg(
+        F.count("*").alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("x")
+    ).collect()[0]
+    return (r["n"], r["x"])
 
 
 def neardup_clusters(pairs: DataFrame) -> DataFrame:
     """(doc_id, keeper) for every doc in a duplicate cluster; keeper is the
     cluster's min doc_id. ``pairs`` must have (doc_a, doc_b) with
-    doc_a < doc_b."""
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.distinct().persist()
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
+    doc_a < doc_b.
+
+    Raises RuntimeError if the star contraction has not converged after
+    MAX_CC_ROUNDS rounds — wrong clusters are never returned silently.
+    """
+    verts = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
-    for _ in range(MAX_LABEL_ROUNDS):
-        # neighbor minimum, one shuffle round
-        nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(nbr, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+    E = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sig = _edge_sig(E)
+    if sig[0]:
+        for _ in range(MAX_CC_ROUNDS):
+            # checkpoint between the phases too: small-star reads its input
+            # twice (min agg + join), and checkpoint both truncates the plan
+            # and caches the data (dropped rounds are GC'd by the context
+            # cleaner once unreferenced)
+            L = _large_star(E).localCheckpoint(eager=True)
+            E = _small_star(L).localCheckpoint(eager=True)
+            new_sig = _edge_sig(E)
+            if new_sig == sig:
+                break
+            sig = new_sig
+        else:
+            raise RuntimeError(
+                f"neardup_clusters star contraction did not converge within "
+                f"{MAX_CC_ROUNDS} rounds — refusing to return split clusters"
             )
-            .persist()
+    # fixed point = star forest: centers (a-side) are component minima;
+    # every other vertex appears exactly once as a b-side leaf
+    return (
+        verts.join(
+            E.select(F.col("b").alias("doc_id"), F.col("a").alias("_keeper")),
+            "doc_id",
+            "left",
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()  # ONE scalar per round
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select("doc_id", F.col("label").alias("keeper"))
+        .select("doc_id", F.coalesce("_keeper", "doc_id").alias("keeper"))
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster the verified MinHash near-dup pairs; per cluster report the
     keeper, member count, and dropped-doc count (the dedup decision)."""
-    pairs = q_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
+    # materialize the (small) verified pair set once — the label loop
+    # consumes it every round — then release the signature/band caches it
+    # was built from (they are fully consumed now)
+    pairs = (
+        q_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    )
+    release_caches()
     clusters = neardup_clusters(pairs)
     return (
         clusters.groupBy("keeper")

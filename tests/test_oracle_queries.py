@@ -32,5 +32,6 @@ def test_queries_and_oracles_consistent():
 
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
-    # non-SQL-expressible ops are the documented exceptions
-    assert set(qs) - set(os_) == {"dedup_simhash_buckets", "ann_ivf_topk"}, set(qs) - set(os_)
+    # non-SQL-expressible ops are the documented exceptions (SimHash gained
+    # a full md5-based oracle in r3; only the iterative IVF remains)
+    assert set(qs) - set(os_) == {"ann_ivf_topk"}, set(qs) - set(os_)

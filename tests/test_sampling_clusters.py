@@ -63,6 +63,16 @@ def _union_find(pairs):
     return {x: find(x) for x in parent}
 
 
+def test_clusters_long_path_converges(spark):
+    """Diameter-25 path graph: min-label propagation alone needs 25 rounds
+    (the r2 defect silently truncated at 20); pointer jumping converges in
+    O(log n) and the result must be the exact single component."""
+    pairs = [(i, i + 1) for i in range(25)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["keeper"] for r in neardup_clusters(df).collect()}
+    assert got == {i: 0 for i in range(26)}
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
