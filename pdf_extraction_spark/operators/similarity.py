@@ -5,16 +5,22 @@
                   (round(x*10000) per component) so Spark and the DuckDB
                   oracle compute bit-identical values regardless of float
                   summation order; the final cosine divides exact integers
-                  (IEEE-identical in both engines).
+                  (IEEE-identical in both engines). Scoring runs in the
+                  vectorized numpy path (exact int64 matmul per Arrow
+                  batch) — the higher-order-function column form is kept
+                  ONLY as documentation of the SQL twin (it is
+                  CodegenFallback: interpreted lambdas, ~10⁴ rows/s/core —
+                  a wall at 10⁹ vectors; parity with the numpy path is
+                  asserted in tests/test_similarity_ivf.py).
 - ann_lsh       : random-hyperplane (sign) LSH bucketing — the scale path:
                   bucket once, then search only the query's bucket. Plane
-                  matrix derives deterministically from md5, via Spark-side
-                  conv(hex→int); Spark-only (rows-only check) since the hex
-                  parse has no clean DuckDB twin.
+                  matrix derives deterministically from md5; fully oracled
+                  via the integer plane family.
 
 Scale notes: brute force is a map-only scan (broadcast query vector, no
-shuffle) — right up to ~10⁹ vectors per query batch. The LSH variant turns
-top-k into a bucket-pruned scan: at 100 TB the bucket table is written
+shuffle; Arrow-batched numpy scoring keeps it compute-light) — right up to
+~10⁹ vectors per query batch. The LSH variant turns top-k into a
+bucket-pruned scan: at 100 TB the bucket table is written
 bucket-partitioned so a query touches 1/2^n_planes of the data.
 """
 
@@ -25,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_extraction_spark.cache import track
 from pdf_extraction_spark.sources.tables import load_testdata as T
 
 QUERY_VEC_ID = 0
@@ -37,7 +44,11 @@ def _quant(x):
     return F.round(x.cast("double") * 10000).cast("bigint")
 
 
-def _qdot(a, b):
+def _qdot_hof(a, b):
+    """SQL-twin documentation form of the quantized dot product. DO NOT use
+    in hot paths: F.aggregate/zip_with lambdas are CodegenFallback
+    (interpreted). The numpy form below is bit-identical (exact int64) and
+    ~100× faster; parity is pinned by tests/test_similarity_ivf.py."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: _quant(x) * _quant(y)),
         F.lit(0).cast("bigint"),
@@ -45,12 +56,52 @@ def _qdot(a, b):
     )
 
 
-def _qnorm2(a):
+def _qnorm2_hof(a):
+    """SQL-twin documentation form of the quantized squared norm (see
+    _qdot_hof — interpreted, not for hot paths)."""
     return F.aggregate(
         F.transform(a, lambda x: _quant(x) * _quant(x)),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+
+
+def _np_quant(s: pd.Series) -> np.ndarray:
+    return np.round(np.array(s.tolist(), dtype=np.float64) * 10000.0).astype(np.int64)
+
+
+_QDOT_UDF = None
+_QNORM2_UDF = None
+
+
+def quantized_dot(ea, eb):
+    """Exact int64 quantized dot product, one numpy matmul-row per Arrow
+    batch — bit-identical to _qdot_hof and the DuckDB oracle (every
+    intermediate < 2^53 ≪ 2^63, so no overflow and no float rounding).
+    Lazy: pandas_udf needs an active SparkSession."""
+    global _QDOT_UDF
+    if _QDOT_UDF is None:
+
+        @F.pandas_udf("bigint")
+        def qdot(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series((_np_quant(a) * _np_quant(b)).sum(axis=1))
+
+        _QDOT_UDF = qdot
+    return _QDOT_UDF(ea, eb)
+
+
+def quantized_norm2(ea):
+    """Exact int64 quantized squared norm (vectorized twin of _qnorm2_hof)."""
+    global _QNORM2_UDF
+    if _QNORM2_UDF is None:
+
+        @F.pandas_udf("bigint")
+        def qnorm2(a: pd.Series) -> pd.Series:
+            A = _np_quant(a)
+            return pd.Series((A * A).sum(axis=1))
+
+        _QNORM2_UDF = qnorm2
+    return _QNORM2_UDF(ea)
 
 
 _QCOS_UDF = None
@@ -87,9 +138,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(qv))  # 1-row broadcast: map-only, no shuffle
         .select(
             "vec_id",
-            _qdot(F.col("embedding"), F.col("qe")).alias("qdot"),
-            _qnorm2(F.col("embedding")).alias("qn_a"),
-            _qnorm2(F.col("qe")).alias("qn_b"),
+            quantized_dot(F.col("embedding"), F.col("qe")).alias("qdot"),
+            quantized_norm2(F.col("embedding")).alias("qn_a"),
+            quantized_norm2(F.col("qe")).alias("qn_b"),
         )
         .select(
             "vec_id",
@@ -282,9 +333,12 @@ def neardup_bucketed_pairs(
     from pyspark.storagelevel import StorageLevel
 
     # persist: the (band,bucket) rows feed the width aggregation AND both
-    # sides of the self-join — without it the signature subtree runs thrice
-    bands = lsh_band_signatures(emb, n_bands, planes_per_band).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # sides of the self-join — without it the signature subtree runs thrice.
+    # track(): released at the next query boundary (pdf_extraction_spark.cache)
+    bands = track(
+        lsh_band_signatures(emb, n_bands, planes_per_band).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     # width cap via broadcast anti-join with the (tiny, usually empty)
     # over-cap bucket set — map-side drop, no sort of the join inputs
@@ -295,9 +349,11 @@ def neardup_bucketed_pairs(
         .select("band", "bucket")
     )
     # persist: the capped bands feed both self-join sides (else each side
-    # re-runs the width agg + anti-join)
-    bands_ok = bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # re-runs the width agg + anti-join); tracked for boundary release
+    bands_ok = track(
+        bands.join(F.broadcast(hot), ["band", "bucket"], "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     a = bands_ok.alias("a")
     b = bands_ok.alias("b")
@@ -454,9 +510,9 @@ def ivf_search(assigned: DataFrame, centroids, query_vec, k: int = TOP_K,
     cand = assigned.filter(F.col("ivf_list").isin([int(p) for p in probe]))
     scored = cand.select(
         "vec_id",
-        _qdot(F.col("embedding"), qarr).alias("qdot"),
-        _qnorm2(F.col("embedding")).alias("qn_a"),
-        _qnorm2(qarr).alias("qn_b"),
+        quantized_dot(F.col("embedding"), qarr).alias("qdot"),
+        quantized_norm2(F.col("embedding")).alias("qn_a"),
+        quantized_norm2(qarr).alias("qn_b"),
     ).select(
         "vec_id",
         F.round(F.col("qdot") / (F.sqrt("qn_a") * F.sqrt("qn_b")), 6).alias("cosine"),
