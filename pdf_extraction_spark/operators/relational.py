@@ -744,23 +744,37 @@ SELECT user_id, mov_avg AS last_mov_avg FROM m WHERE rn = 1 ORDER BY user_id
 
 
 def q_except_intersect_users(spark: SparkSession, sf: str) -> DataFrame:
-    """INTERSECT / EXCEPT over derived key sets: users who purchased AND
-    clicked, minus users who ever errored — the set-op surface (§2.7)
-    beyond plain UNION."""
+    """INTERSECT / EXCEPT over derived key sets: frequent buyers who are
+    also frequent clickers, minus heavy-error users — the set-op surface
+    (§2.7) beyond plain UNION. The per-user count thresholds (13/12/16,
+    around the ~13 median events-per-type-per-user) split the population so
+    BOTH set operations do real work at sf0.001 and sf0.01 — the r2 version
+    compared unthresholded membership, and since every user has every event
+    type, it proved itself on an empty result."""
     ev = T(spark, sf, "events")
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
-    errored = ev.filter(F.col("event_type") == "error").select("user_id")
-    keep = buyers.intersect(clickers).exceptAll(errored.distinct())
+
+    def users_with_at_least(event_type: str, n: int) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= n)
+            .select("user_id")
+        )
+
+    buyers = users_with_at_least("purchase", 13)
+    clickers = users_with_at_least("click", 12)
+    heavy_error = users_with_at_least("error", 16)
+    keep = buyers.intersect(clickers).exceptAll(heavy_error)
     return keep.orderBy("user_id")
 
 
 _SQL_EXCEPT_INTERSECT = """
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id HAVING count(*) >= 13
 INTERSECT
-SELECT user_id FROM events WHERE event_type = 'click'
+SELECT user_id FROM events WHERE event_type = 'click' GROUP BY user_id HAVING count(*) >= 12
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
+SELECT user_id FROM events WHERE event_type = 'error' GROUP BY user_id HAVING count(*) >= 16
 ORDER BY user_id
 """
 

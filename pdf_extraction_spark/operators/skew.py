@@ -40,7 +40,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``key`` with the fact side salted across ``n_salt``
     shuffle sub-partitions. ``salt_cols`` (default: all fact columns) feed
-    the deterministic content-hash salt."""
+    the deterministic content-hash salt.
+
+    Only ``inner`` and ``left`` (fact-side-preserving) joins are allowed:
+    for right/full outer joins the n_salt-replicated dim side would emit
+    each UNMATCHED dim row n_salt times, breaking the plain-join-equality
+    contract. (Skew-safe outer-dim joins need the inverse construction —
+    salt the dim probe, dedup unmatched — which this operator does not
+    implement.)"""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: a "
+            f"replicated dim side duplicates unmatched dim rows under "
+            f"right/full outer semantics"
+        )
     cols = salt_cols or facts.columns
     salted_facts = facts.withColumn("_salt", F.pmod(F.xxhash64(*cols), F.lit(n_salt)))
     salted_dim = dim.withColumn(

@@ -63,9 +63,18 @@ class Ledger:
     def _run_rows(self) -> List[Dict]:
         if not self.io.exists(LEDGER_TABLE):
             return []
+        # mergeSchema: a ledger dir may mix files from a pre-r2 writer
+        # (no attempt/n_buckets/input_fp columns) with current ones; a
+        # plain read picks one file's schema nondeterministically. Columns
+        # still absent entirely (pure old-format ledger) default to
+        # 0 / 0 / '' — the semantics those writers had implicitly.
+        df = self.io.read(LEDGER_TABLE, merge_schema=True)
+        defaults = {"attempt": F.lit(0), "n_buckets": F.lit(0), "input_fp": F.lit("")}
+        for col, default in defaults.items():
+            if col not in df.columns:
+                df = df.withColumn(col, default)
         rows = (
-            self.io.read(LEDGER_TABLE)
-            .filter(F.col("run_id") == self.run_id)
+            df.filter(F.col("run_id") == self.run_id)
             .select("bucket", "status", "attempt", "n_buckets", "input_fp")
             .collect()  # metadata-sized: ≤ n_buckets × attempts rows
         )
@@ -111,6 +120,15 @@ class Ledger:
         """Highest recorded attempt number for a bucket (0 if never tried)."""
         rows = self._run_rows()
         return max((r["attempt"] or 0 for r in rows if r["bucket"] == bucket), default=0)
+
+    def attempts(self) -> Dict[int, int]:
+        """Highest recorded attempt number PER bucket — one ledger read
+        (attempt_of in a loop would re-read the ledger per bucket)."""
+        rows = self._run_rows()
+        out: Dict[int, int] = {}
+        for r in rows:
+            out[r["bucket"]] = max(out.get(r["bucket"], 0), r["attempt"] or 0)
+        return out
 
     @staticmethod
     def bucket_stats(written: DataFrame) -> List[Dict]:

@@ -193,11 +193,22 @@ def run_extraction(
             io.write(extracted, "extracted", mode="overwrite_partitions",
                      partition_by=["bucket"])
         except Exception:  # wave-level failure: ledger it, keep going (C3)
-            attempt = max((ledger.attempt_of(b) for b in wave), default=0) + 1
-            ledger.mark_failed([int(b) for b in wave], attempt)
-            failed_buckets.extend(int(b) for b in wave)
-            if attempt >= MAX_ATTEMPTS:
-                n_escalated += enqueue_buckets(io, run_id, [int(b) for b in wave])
+            # attempt numbering is PER BUCKET: a never-failed bucket that
+            # shares a wave with an almost-exhausted one must be recorded
+            # at ITS OWN attempt 1, not inherit the wave maximum (which
+            # would silently escalate it on its first failure)
+            prior = ledger.attempts()
+            per_bucket = {int(b): prior.get(int(b), 0) + 1 for b in wave}
+            for att in sorted(set(per_bucket.values())):
+                ledger.mark_failed(
+                    [b for b, a in per_bucket.items() if a == att], att
+                )
+            failed_buckets.extend(per_bucket)
+            exhausted_now = sorted(
+                b for b, a in per_bucket.items() if a >= MAX_ATTEMPTS
+            )
+            if exhausted_now:
+                n_escalated += enqueue_buckets(io, run_id, exhausted_now)
             continue
 
         # lineage rows are computed FROM WHAT WAS WRITTEN — the ledger

@@ -60,8 +60,17 @@ class TableIO:
             for _, _, files in os.walk(p) for f in files
         )
 
-    def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+    def read(self, name: str, merge_schema: bool = False) -> DataFrame:
+        """merge_schema=True unions the schemas of all files (parquet
+        mergeSchema) — required for tables that EVOLVED across writer
+        versions (the lineage ledger), where a plain read would pick one
+        file's footer nondeterministically and could drop the newer
+        columns. Off by default: merging reads every footer, pointless
+        cost for big single-schema data tables."""
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.path(name))
 
     def write(
         self,

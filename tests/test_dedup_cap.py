@@ -97,3 +97,21 @@ def test_salted_join_equals_plain_join(spark):
         .filter(F.col("k") == 1).select("_salt").distinct().count()
     )
     assert n_salts >= 4
+
+
+def test_salted_join_rejects_dim_preserving_outer(spark):
+    """right/full outer would emit each unmatched dim row n_salt times;
+    the operator must refuse rather than silently diverge from the plain
+    join (r2 advice)."""
+    import pytest as _pytest
+
+    from pdf_extraction_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame([(1, "a")], "k int, v string")
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, d string")
+    for how in ("right", "full", "outer", "left_anti"):
+        with _pytest.raises(ValueError):
+            salted_join(facts, dim, "k", how=how)
+    # the fact-preserving forms still work
+    assert salted_join(facts, dim, "k", how="inner").count() == 1
+    assert salted_join(facts, dim, "k", how="left").count() == 1

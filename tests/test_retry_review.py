@@ -147,3 +147,67 @@ def test_backfill_update_join(spark):
     out = rqmod.backfill_update_join(target, mapping, "id", "tag").orderBy("id").collect()
     # only_null: fills gaps, never clobbers existing values; unmatched stays null
     assert [(r["id"], r["tag"]) for r in out] == [(1, "a"), (2, "keep"), (3, "b"), (4, None)]
+
+
+def test_shared_wave_failure_attempts_are_per_bucket(spark, tiny_transcripts, tmp_path, monkeypatch):
+    """A never-failed bucket that shares a failing wave with an
+    almost-exhausted bucket must be recorded at ITS OWN attempt 1 — not the
+    wave maximum, which would escalate it on its first failure and silently
+    drop its output from every future resume (r2 advice, medium)."""
+    import pdf_extraction_spark.plans.pipeline as pl
+
+    root = str(tmp_path / "w")
+    n_buckets = 4
+    poison = 1
+    io = TableIO(spark, root)
+    led = Ledger(io, "r", n_buckets=n_buckets)
+    # the poison bucket arrives at this wave one failure short of the cap
+    for a in range(1, MAX_ATTEMPTS):
+        led.mark_failed([poison], a)
+
+    # one wave holds ALL buckets (n_waves=1) and the poison row kills it
+    real = pl.extract_stage
+    monkeypatch.setattr(
+        pl, "extract_stage", _poison_extract_stage(real, poison, n_buckets)
+    )
+    s = run_extraction(spark, tiny_transcripts, root, run_id="r",
+                       n_buckets=n_buckets, n_waves=1)
+    assert s["buckets_failed"] == n_buckets
+
+    attempts = led.attempts()
+    assert attempts[poison] == MAX_ATTEMPTS          # exhausted, escalated
+    for b in range(n_buckets):
+        if b != poison:
+            assert attempts[b] == 1, f"bucket {b} inherited the wave maximum"
+    assert {r["bucket"] for r in rqmod.pending(io).filter(F.col("kind") == "bucket").collect()} == {poison}
+
+    # with the failure gone, the fresh buckets must still be retryable —
+    # only the genuinely exhausted bucket is skipped
+    monkeypatch.setattr(pl, "extract_stage", real)
+    s2 = run_extraction(spark, tiny_transcripts, root, run_id="r",
+                        n_buckets=n_buckets, n_waves=1)
+    assert s2["buckets_run"] == n_buckets - 1
+    assert s2["buckets_failed"] == 0
+
+
+def test_ledger_reads_pre_r2_schema(spark, tmp_path):
+    """A lineage dir written by the pre-r2 ledger (no attempt / n_buckets /
+    input_fp columns) must still resume — including after NEW-format rows
+    are appended into the same dir (mixed parquet schemas need mergeSchema;
+    a plain read picks one file's footer nondeterministically)."""
+    io = TableIO(spark, str(tmp_path / "w"))
+    old = spark.createDataFrame(
+        [("r", 0, "done", 5, "123")],
+        "run_id string, bucket int, status string, n_turns bigint, checksum string",
+    ).withColumn("ts", F.current_timestamp())
+    io.write(old, "lineage", mode="append")
+
+    led = Ledger(io, "r", n_buckets=4, input_fp="snap")
+    st = led.bucket_state()  # must not raise AnalysisException / Mismatch
+    assert st["done"] == frozenset({0})
+
+    led.mark_failed([2], 1)  # new-format append into the same directory
+    st2 = led.bucket_state()
+    assert st2["done"] == frozenset({0})
+    assert st2["retryable"] == frozenset({2})
+    assert led.attempts() == {0: 0, 2: 1}
