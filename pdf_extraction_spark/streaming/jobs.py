@@ -182,3 +182,93 @@ def stream_dedup_turns(
         .trigger(availableNow=True)
         .start()
     )
+
+
+EXPIRED_SENTINEL = "__expired__"
+
+
+def stream_dedup_turns_continuous(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+    state_ttl_seconds: float = 24 * 3600,
+    state_cap: int = 100_000,
+    trigger_interval: str = "1 second",
+):
+    """Continuous (processingTime-trigger) deployment of the streaming
+    dedup: identical first-seen semantics, but idle-conversation expiry is
+    handled by the ENGINE — ``ProcessingTimeTimeout`` + ``state.remove()``
+    — so idle keys leave the state store EAGERLY instead of waiting to be
+    touched again (the state-resident TTL of ``stream_dedup_turns`` only
+    discards a window when its next message arrives). The engine schedules
+    data-less micro-batches on the trigger interval to fire due timeouts;
+    that is exactly why this form CANNOT run under ``Trigger.AvailableNow``
+    (the post-data timeout batch blocks termination — see
+    ``stream_dedup_turns``'s docstring) and vice versa.
+
+    A timed-out key emits one tombstone row
+    ``(conv_id, turn_idx=-1, text_hash=EXPIRED_SENTINEL, state_size=0)``
+    before removal, so state lifecycle is observable from the sink — the
+    continuous twin of the ``state_size`` telemetry column.
+
+    Returns the started StreamingQuery; the caller owns ``stop()``.
+    """
+    import hashlib
+    from typing import Iterable, Iterator, Tuple
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    transcripts = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    out_schema = "conv_id string, turn_idx int, text_hash string, state_size int"
+    state_schema = "seen array<string>"
+    ttl_ms = int(state_ttl_seconds * 1000)
+
+    def dedup(key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # idle past the TTL: drop the hash set from the store entirely
+            # and leave a tombstone in the sink
+            state.remove()
+            yield pd.DataFrame(
+                {"conv_id": [key[0]], "turn_idx": [-1],
+                 "text_hash": [EXPIRED_SENTINEL], "state_size": [0]}
+            )
+            return
+        seen_list: list = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("turn_idx", kind="mergesort")
+        hashes = pdf["text"].fillna("").map(
+            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+        )
+        pdf = pdf.assign(text_hash=hashes.values)
+        fresh = pdf[~pdf["text_hash"].isin(seen_list)].drop_duplicates(
+            "text_hash", keep="first"
+        )
+        new_seen = seen_list + fresh["text_hash"].tolist()  # incremental append
+        if len(new_seen) > state_cap:
+            new_seen = new_seen[-state_cap:]  # FIFO eviction
+        state.update((new_seen,))
+        state.setTimeoutDuration(ttl_ms)  # any new data re-arms the TTL
+        out = fresh[["conv_id", "turn_idx", "text_hash"]].copy()
+        out["state_size"] = len(new_seen)
+        yield out
+
+    deduped = transcripts.groupBy("conv_id").applyInPandasWithState(
+        dedup, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )

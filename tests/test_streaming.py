@@ -193,3 +193,64 @@ def test_stateful_dedup_three_batches_telemetry_and_cap(spark, tmp_path):
     got3 = spark.read.parquet(out3).toPandas().sort_values("turn_idx")
     assert list(got3["turn_idx"]) == [0, 1]      # duplicate re-emitted post-TTL
     assert list(got3["state_size"]) == [1, 1]    # window RESET, not grown
+
+
+def test_stateful_dedup_continuous_engine_ttl(spark, tmp_path):
+    """Continuous-trigger variant: the ENGINE expires idle keys
+    (ProcessingTimeTimeout → state.remove()), observable as a tombstone row;
+    a duplicate arriving after expiry is re-emitted because the state is
+    GONE from the store (not merely stale)."""
+    import datetime as dt
+    import time as _time
+
+    from pdf_extraction_spark.streaming.jobs import (
+        EXPIRED_SENTINEL,
+        stream_dedup_turns_continuous,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src)
+    _drop_batch(spark, tmp_path, src, schema,
+                [("c", 0, "user", "a", None, t), ("c", 1, "user", "b", None, t)], 1)
+
+    def sink():
+        try:
+            return spark.read.parquet(out).toPandas()
+        except Exception:
+            import pandas as pd
+            return pd.DataFrame(columns=["conv_id", "turn_idx", "text_hash", "state_size"])
+
+    def wait_for(pred, timeout_s=90, what=""):
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            if pred(sink()):
+                return
+            _time.sleep(0.5)
+        raise AssertionError(f"timed out waiting for {what}:\n{sink()}")
+
+    q = stream_dedup_turns_continuous(
+        spark, src, out, ckpt,
+        state_ttl_seconds=3, trigger_interval="500 milliseconds",
+    )
+    try:
+        # batch 1 emitted, with in-batch dedup semantics identical to the
+        # availableNow variant
+        wait_for(lambda s: set(s["turn_idx"]) >= {0, 1}, what="batch-1 rows")
+
+        # the key goes idle; the engine fires the timeout in a DATA-LESS
+        # micro-batch (that is the capability availableNow cannot provide)
+        # and the tombstone proves state.remove() ran
+        wait_for(lambda s: (s["text_hash"] == EXPIRED_SENTINEL).any(),
+                 what="engine-timeout tombstone")
+
+        # a duplicate of an expired hash must be re-emitted: fresh state
+        _drop_batch(spark, tmp_path, src, schema,
+                    [("c", 2, "user", "a", None, t)], 2)
+        wait_for(lambda s: 2 in set(s["turn_idx"]), what="post-expiry re-emit")
+        final = sink()
+        re_emitted = final[final["turn_idx"] == 2]
+        assert list(re_emitted["state_size"]) == [1]  # window RESET, not grown
+    finally:
+        q.stop()
