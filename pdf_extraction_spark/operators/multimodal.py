@@ -8,12 +8,14 @@ Design for the 100 TB case:
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   ``mapInPandas`` stages (bytes → fixed-width features), exactly like the
   text extraction stage: map-only, no shuffle, batch-size-bounded memory.
-- the actual codec calls are STUBBED (no image/audio libs in this
-  container): ``decode_image`` raises NotImplementedError unless
-  ``fake=True``, in which case a deterministic md5-derived feature vector
-  stands in. The Spark-side plumbing — schema, batching, partitioning,
-  null/short-payload handling — is real and tested; swapping the stub for
-  Pillow/librosa/pyav changes ONE function body.
+- codecs: PNG and WAV decode/resize are REAL (stdlib zlib/struct/wave —
+  ``core/codecs.py``; round-trip-tested against hand-built fixtures,
+  including every PNG filter type). Payloads are sniffed by magic bytes;
+  formats needing external libs this container lacks (JPEG, video demux)
+  remain stubbed: they raise NotImplementedError unless ``fake=True``, in
+  which case a deterministic md5-derived feature vector stands in (which
+  is what keeps the synthetic-corpus queries oracle-checkable in SQL).
+  Swapping a stub for Pillow/pyav changes ONE function body.
 """
 
 from __future__ import annotations
@@ -64,19 +66,67 @@ def synth_media(spark: SparkSession, sf: str) -> DataFrame:
 
 # ---------------------------------------------------------------- decoders
 
+def image_features(payload: bytes) -> List[float]:
+    """REAL PNG decode (core/codecs.py) → FEATURE_DIM deterministic doubles:
+    [width, height, channels, mean, std, min, max, mean |∂x|] with pixel
+    stats normalized to [0, 1]."""
+    import numpy as np
+
+    from pdf_extraction_spark.core.codecs import decode_png
+
+    arr = decode_png(payload).astype(np.float64) / 255.0
+    dx = np.abs(np.diff(arr, axis=1)).mean() if arr.shape[1] > 1 else 0.0
+    return [
+        float(arr.shape[1]), float(arr.shape[0]), float(arr.shape[2]),
+        round(float(arr.mean()), 6), round(float(arr.std()), 6),
+        round(float(arr.min()), 6), round(float(arr.max()), 6),
+        round(float(dx), 6),
+    ]
+
+
+def audio_features(payload: bytes) -> List[float]:
+    """REAL WAV decode (stdlib) → [n_frames, channels, rate, mean, rms,
+    min, max, zero-cross rate], sample stats normalized by 2^15."""
+    import numpy as np
+
+    from pdf_extraction_spark.core.codecs import decode_wav
+
+    samples, rate = decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    mono = x.mean(axis=1)
+    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+    return [
+        float(samples.shape[0]), float(samples.shape[1]), float(rate),
+        round(float(x.mean()), 6), round(float(np.sqrt((x ** 2).mean())), 6),
+        round(float(x.min()), 6), round(float(x.max()), 6), round(zc, 6),
+    ]
+
+
 def decode_image(payload: bytes, fake: bool = False) -> List[float]:
-    """STUB: real impl would decode via Pillow/libjpeg. The deterministic
-    fake derives FEATURE_DIM doubles from the md5 of the bytes."""
+    """PNG payloads decode for REAL (magic-sniffed). Other formats (JPEG,
+    …) need codec libs this container lacks: they raise unless ``fake=True``
+    (deterministic md5-derived features — the SQL-oracle-checkable path
+    for the synthetic text-bytes corpus)."""
+    from pdf_extraction_spark.core.codecs import PNG_MAGIC
+
+    if payload.startswith(PNG_MAGIC):
+        return image_features(payload)
     if not fake:
-        raise NotImplementedError("image codecs not available in this environment")
+        raise NotImplementedError("non-PNG image codecs not available in this environment")
     h = hashlib.md5(payload).digest()
     return [round(b / 255.0, 6) for b in h[:FEATURE_DIM]]
 
 
 def resize_image(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
-    """STUB: real impl would re-encode at (width, height)."""
+    """PNG payloads: REAL decode → nearest-neighbor resize → PNG re-encode.
+    Other formats raise unless ``fake=True`` (length-truncation stand-in
+    whose output size is closed-form for the SQL oracle)."""
+    from pdf_extraction_spark.core.codecs import PNG_MAGIC, decode_png, encode_png, resize_nearest
+
+    if payload.startswith(PNG_MAGIC):
+        return encode_png(resize_nearest(decode_png(payload), width, height))
     if not fake:
-        raise NotImplementedError("image codecs not available in this environment")
+        raise NotImplementedError("non-PNG image codecs not available in this environment")
     return payload[: max(1, min(len(payload), width * height))]
 
 
@@ -93,6 +143,8 @@ def media_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """bytes → feature vectors, Arrow-batched, map-only, null-safe."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_extraction_spark.core.codecs import CodecError
+
         for pdf in batches:
             feats: List[Optional[List[float]]] = []
             status: List[str] = []
@@ -105,11 +157,17 @@ def media_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     status.append("empty")
                     continue
                 try:
-                    feats.append(decode_image(b, fake=fake))
+                    if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+                        feats.append(audio_features(b))  # real WAV decode
+                    else:
+                        feats.append(decode_image(b, fake=fake))
                     status.append("ok")
                 except NotImplementedError:
                     feats.append([])
                     status.append("codec_unavailable")
+                except CodecError:  # malformed payload ≠ dead task (C3)
+                    feats.append([])
+                    status.append("decode_error")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

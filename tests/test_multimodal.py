@@ -99,3 +99,118 @@ def test_transform_stats_resize_and_frames(spark):
             assert r["out_bytes"] == min(n * step, nb)
         else:
             assert r["out_bytes"] == nb
+
+
+# ------------------------------------------------------------- real codecs
+def _gradient_rgb(h, w):
+    import numpy as np
+
+    y = np.arange(h, dtype=np.int32)[:, None]
+    x = np.arange(w, dtype=np.int32)[None, :]
+    g = np.zeros((h, w, 3), dtype=np.uint8)
+    g[..., 0] = np.broadcast_to(y * 7 % 256, (h, w))
+    g[..., 1] = np.broadcast_to(x * 11 % 256, (h, w))
+    g[..., 2] = (y * 3 + x * 5) % 256
+    return g
+
+
+def test_png_roundtrip_every_filter_type():
+    """decode_png must invert all five scanline filters; encode with each
+    filter and require bit-identical pixel recovery."""
+    import numpy as np
+
+    from pdf_extraction_spark.core.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(9, 7, ch), dtype=np.uint8)
+        for f in range(5):
+            back = decode_png(encode_png(arr, filter_type=f))
+            assert back.shape == arr.shape, (ch, f)
+            assert (back == arr).all(), f"filter {f}, {ch}ch: pixel mismatch"
+
+
+def test_png_malformed_raises():
+    import pytest as _pytest
+
+    from pdf_extraction_spark.core.codecs import CodecError, decode_png, encode_png
+
+    with _pytest.raises(CodecError):
+        decode_png(b"not a png at all")
+    good = encode_png(_gradient_rgb(4, 4))
+    corrupted = good[:-8] + b"\x00" * 8  # break the IEND CRC
+    with _pytest.raises(CodecError):
+        decode_png(corrupted)
+
+
+def test_png_resize_nearest_exact():
+    import numpy as np
+
+    from pdf_extraction_spark.core.codecs import decode_png, encode_png, resize_nearest
+    from pdf_extraction_spark.operators.multimodal import resize_image
+
+    arr = np.array([[[0], [100]], [[200], [255]]], dtype=np.uint8)  # 2x2 gray
+    up = resize_nearest(arr, 4, 4)
+    # each source pixel becomes a 2x2 block under nearest-neighbor
+    assert (up[:2, :2, 0] == 0).all() and (up[:2, 2:, 0] == 100).all()
+    assert (up[2:, :2, 0] == 200).all() and (up[2:, 2:, 0] == 255).all()
+    # end-to-end through the operator surface: PNG in → resized PNG out
+    out = resize_image(encode_png(arr), 4, 4)
+    assert (decode_png(out) == up).all()
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    from pdf_extraction_spark.core.codecs import decode_wav, encode_wav
+    from pdf_extraction_spark.operators.multimodal import audio_features
+
+    t = np.arange(800)
+    samples = (np.sin(2 * np.pi * t / 50) * 20000).astype("int16")
+    payload = encode_wav(samples, 8000)
+    back, rate = decode_wav(payload)
+    assert rate == 8000 and (back[:, 0] == samples).all()
+    f = audio_features(payload)
+    assert f[0] == 800.0 and f[1] == 1.0 and f[2] == 8000.0
+    assert abs(f[3]) < 1e-3          # sine mean ~ 0
+    assert 0.3 < f[4] < 0.7          # rms of a 20000/32768 sine ≈ 0.43
+    assert f[7] > 0.03               # 16 sign flips / 800 samples
+
+
+def test_media_features_real_codecs_end_to_end(spark):
+    """The Arrow stage decodes REAL payloads (PNG + WAV) when magic bytes
+    match, falls back to the md5 fake for unknown formats, and routes
+    malformed payloads to a status instead of killing the task."""
+    import numpy as np
+
+    from pdf_extraction_spark.core.codecs import encode_png, encode_wav
+    from pdf_extraction_spark.operators.multimodal import (
+        image_features,
+        media_features,
+    )
+
+    png = encode_png(_gradient_rgb(6, 5))
+    wav = encode_wav((np.arange(100) % 64 * 512 - 16384).astype("int16"), 16000)
+    rows = [
+        (1, "image", bytearray(png), (5, 6, 0, "png")),
+        (2, "audio", bytearray(wav), (0, 0, 12, "wav")),
+        (3, "image", bytearray(b"\x89PNG\r\n\x1a\nGARBAGE___"), (0, 0, 0, "corrupt")),
+        (4, "image", bytearray(b"plain text bytes"), (0, 0, 0, "unknown")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, media_type string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    got = {r["doc_id"]: r for r in media_features(df, fake=True).collect()}
+    assert got[1]["status"] == "ok"
+    assert got[1]["features"] == image_features(png)   # real decode, exact
+    assert got[1]["features"][0] == 5.0 and got[1]["features"][1] == 6.0
+    assert got[2]["status"] == "ok"
+    assert got[2]["features"][2] == 16000.0            # real WAV rate
+    assert got[3]["status"] == "decode_error"          # poison row survives
+    assert got[4]["status"] == "ok" and len(got[4]["features"]) == 8  # fake path
+
+    # fake=False: unknown formats surface codec_unavailable, real ones decode
+    got2 = {r["doc_id"]: r for r in media_features(df, fake=False).collect()}
+    assert got2[1]["status"] == "ok" and got2[4]["status"] == "codec_unavailable"
