@@ -43,6 +43,11 @@ HEADLINE = (
     "backfill_update_join",
     "stratified_sample",
     "salted_join_user_stats",
+    # r3 additions
+    "dedup_simhash_buckets",
+    "redact_pii",
+    "contamination_check",
+    "vocab_stats",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales

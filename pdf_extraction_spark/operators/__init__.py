@@ -10,6 +10,7 @@ from pdf_extraction_spark.operators import (  # noqa: F401
     nested,
     relational,
     sampling,
+    scrub,
     similarity,
     skew,
     textstats,
@@ -18,7 +19,8 @@ from pdf_extraction_spark.operators import (  # noqa: F401
 
 def all_queries():
     out = {}
-    for mod in (relational, dedup, similarity, textstats, multimodal, asof, nested, skew, sampling):
+    for mod in (relational, dedup, similarity, textstats, multimodal, asof, nested, skew,
+                sampling, scrub):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair

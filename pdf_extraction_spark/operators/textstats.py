@@ -250,3 +250,84 @@ FROM d GROUP BY user_id ORDER BY user_id
 
 
 QUERIES["dedup_consecutive"] = (q_dedup_consecutive, _SQL_DEDUP_CONSECUTIVE)
+
+
+# --------------------------------------------------------------------------
+# Corpus-level vocabulary statistics + Gopher-style repetition signals
+# (r3). Both are single-purpose training-data passes with no reference
+# analogue; shapes:
+#   vocab_stats  : explode words → ONE groupBy(token) with map-side partial
+#                  aggregation → global top-k (TakeOrdered, no full sort).
+#   repetition   : per-doc duplicate-word mass — explode → (doc, word)
+#                  counts → per-doc max/sum. Two shuffles, both keyed on
+#                  doc_id-containing keys so skew follows document length,
+#                  which the corpus bounds.
+
+VOCAB_TOP_K = 20
+REPETITION_MIN_TOP_FRAC = 0.15
+
+
+def q_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K corpus vocabulary: (token, n_occurrences, n_docs), ties broken
+    by token for determinism."""
+    docs = T(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    return (
+        words.groupBy("token")
+        .agg(F.count("*").alias("n_occ"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
+_SQL_VOCAB = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+FROM w GROUP BY token ORDER BY n_occ DESC, token ASC LIMIT {VOCAB_TOP_K}
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition flags: per doc the fraction of word mass in
+    the single most frequent word (top_frac) and the duplicate-word mass
+    (1 - distinct/total); emit docs above the top_frac threshold."""
+    docs = T(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    per_word = words.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.max("n").alias("top_n"),
+        F.count("*").alias("n_distinct"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("top_n") / F.col("n_words"), 6).alias("top_frac"),
+            F.round(1 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_frac"),
+        )
+        .filter(F.col("top_frac") >= REPETITION_MIN_TOP_FRAC)
+        .orderBy("doc_id")
+    )
+
+
+_SQL_REPETITION = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+pw AS (SELECT doc_id, w, count(*) AS n FROM w GROUP BY doc_id, w),
+pd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, max(n) AS top_n,
+              count(*) AS n_distinct
+       FROM pw GROUP BY doc_id)
+SELECT doc_id, n_words,
+       round(CAST(top_n AS DOUBLE) / n_words, 6) AS top_frac,
+       round(1 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_frac
+FROM pd WHERE CAST(top_n AS DOUBLE) / n_words >= {REPETITION_MIN_TOP_FRAC}
+ORDER BY doc_id
+"""
+
+
+QUERIES["vocab_stats"] = (q_vocab_stats, _SQL_VOCAB)
+QUERIES["repetition_stats"] = (q_repetition_stats, _SQL_REPETITION)
