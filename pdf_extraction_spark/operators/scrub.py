@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_extraction_spark.operators.dedup import _grams_col
+from pdf_extraction_spark.operators.dedup import grams_udf
 from pdf_extraction_spark.sources.tables import load_testdata as T
 
 # Java-regex ∩ RE2 subset: no lookarounds, no backrefs — identical
@@ -123,7 +123,7 @@ def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
     gram set is broadcast; corpus grams never shuffle pre-join."""
     docs = T(spark, sf, "documents")
     grams = docs.select(
-        "doc_id", F.explode(_grams_col(F.col("text"), CONTAM_SHINGLE)).alias("g")
+        "doc_id", F.explode(grams_udf(F.col("text"), CONTAM_SHINGLE)).alias("g")
     )
     bench = (
         grams.filter(F.col("doc_id") % BENCH_EVERY == 0)

@@ -12,6 +12,7 @@ expressions (JVM-side, zero Python in the hot path).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -134,16 +135,46 @@ FROM documents GROUP BY source ORDER BY source
 
 
 # --------------------------------------------------------------------------
+_FP_UDF = None
+
+
+def _fingerprint_udf(text_col):
+    """Vectorized fingerprint: min md5 hex over word trigrams, one Arrow
+    batch per task (hashlib in a tight loop — the HOF md5 transform over
+    interpreted grams was the slow path; min over distinct vs non-distinct
+    grams is identical, so this matches the SQL oracle exactly)."""
+    global _FP_UDF
+    if _FP_UDF is None:
+        import hashlib
+
+        @F.pandas_udf("string")
+        def fp(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                w = t.lower().split(" ") if isinstance(t, str) else []
+                if len(w) < 3:
+                    out.append(None)
+                    continue
+                out.append(
+                    min(
+                        hashlib.md5(" ".join(w[i : i + 3]).encode("utf-8")).hexdigest()
+                        for i in range(len(w) - 2)
+                    )
+                )
+            return pd.Series(out)
+
+        _FP_UDF = fp
+    return _FP_UDF(text_col)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Content fingerprint: lexicographic-min md5 over word trigrams
     (1-permutation MinHash — a deterministic winnowing-style fingerprint)."""
     docs = T(spark, sf, "documents")
-    from pdf_extraction_spark.operators.dedup import _grams_col
-
-    grams = _grams_col(F.col("text"))
-    fp = F.array_min(F.transform(grams, lambda g: F.md5(g)))
     return (
-        docs.select("doc_id", F.coalesce(fp, F.lit("")).alias("fingerprint"))
+        docs.select(
+            "doc_id", F.coalesce(_fingerprint_udf(F.col("text")), F.lit("")).alias("fingerprint")
+        )
         .orderBy("doc_id")
     )
 

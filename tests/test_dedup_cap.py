@@ -115,3 +115,37 @@ def test_salted_join_rejects_dim_preserving_outer(spark):
     # the fact-preserving forms still work
     assert salted_join(facts, dim, "k", how="inner").count() == 1
     assert salted_join(facts, dim, "k", how="left").count() == 1
+
+
+def test_grams_udf_matches_hof_sql_twin(spark):
+    """grams_udf (vectorized hot path) must equal _grams_col (interpreted
+    SQL-twin documentation form) EXACTLY — same strings, same
+    first-occurrence-distinct order — on real corpus text plus edge cases
+    (NULL, empty, < shingle words, repeated grams, double spaces)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.dedup import _grams_col, grams_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [(10001, None), (10002, ""), (10003, "one two"), (10004, "a b a b a b"),
+         (10005, "x  y  z"), (10006, "A B c A B c")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").union(edge).select(
+        "doc_id",
+        _grams_col(F.col("text")).alias("hof"),
+        grams_udf(F.col("text")).alias("np"),
+    )
+    for sh in (2, 4):
+        both = both.union(
+            edge.select(
+                "doc_id",
+                _grams_col(F.col("text"), sh).alias("hof"),
+                grams_udf(F.col("text"), sh).alias("np"),
+            )
+        )
+    bad = both.filter(
+        ~((F.col("hof") == F.col("np")) | (F.col("hof").isNull() & F.col("np").isNull()))
+    )
+    assert bad.count() == 0, bad.collect()[:5]
