@@ -53,6 +53,23 @@ HEADLINE = (
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales
 RICH = int(os.environ.get("BENCH_RICH", "8"))  # payload size factor: ~10-30 KB
                                                # turns, like real web pages
+QUERY_TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))  # best-of-N per query
+
+
+def _wait_for_quiet_box(max_wait_s: float = 180.0, threshold: float = 3.0) -> None:
+    """This box suffers intermittent phantom IO load that inflates timings
+    2-3× (documented in BENCH/SCALE.md); recorded runs on a loaded box are
+    noise. Wait (bounded) for the 1-minute load average to drop below the
+    threshold before timing anything."""
+    if os.environ.get("BENCH_NO_GATE"):  # pinned scaling legs: the previous
+        return  # leg's decaying load average is not real contention
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() < deadline:
+        load1 = os.getloadavg()[0]
+        if load1 < threshold:
+            return
+        print(f"# load {load1:.1f} >= {threshold}; waiting for quiet box", file=sys.stderr)
+        time.sleep(10.0)
 
 
 def _force(df) -> int:
@@ -114,6 +131,7 @@ def main() -> None:
 
     from pdf_extraction_spark.session import build_session
 
+    _wait_for_quiet_box()
     spark = build_session(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=4 * cpus)
 
     out: dict = {"metric": "headline_queries_total_sec", "unit": "sec", "sf": float(sf), "cpus": cpus}
@@ -141,7 +159,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _trial in range(2):  # report warm (steady-state) times
+        # best-of-N with warm JVM but COLD caches per trial: the queries()
+        # wrapper releases tracked persists at each entry, so every trial
+        # pays the query's real per-invocation cost (through r2, trial 2
+        # silently reused trial 1's live cache — dedup_minhash_lsh's 1.2s
+        # was that artifact; its honest cold time is ~3.5s)
+        for _trial in range(QUERY_TRIALS):
             t0 = time.monotonic()
             _force(fn(spark, sf_dir))
             best = min(best, time.monotonic() - t0)

@@ -29,7 +29,7 @@ LEVELS = tuple(int(x) for x in os.environ.get("BENCH_LEVELS", "2,8").split(","))
 
 
 def run_level(cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), BENCH_NO_GATE="1")
     env.setdefault("BENCH_N_CONVS", "12000")  # ~200k turns: amortizes fixed
     # costs so the fast leg runs >50s and sandbox IO jitter stays <5%
     out = subprocess.run(

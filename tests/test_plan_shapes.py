@@ -96,3 +96,34 @@ def test_no_per_row_python_udfs_in_codebase():
             # all metadata-sized driver state, never data rows
             offenders.append(f"{p}: collect outside ledger/centroids")
     assert not offenders, offenders
+
+
+def test_contamination_bench_side_is_broadcast(spark):
+    """The benchmark gram set must broadcast: the corpus-side explode stays
+    map-local with no pre-join shuffle (at 100 TB a sort-merge here would
+    shuffle every corpus gram)."""
+    from pdf_extraction_spark.operators.scrub import q_contamination
+
+    plan = plan_of(q_contamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_redact_pii_is_pure_codegen(spark):
+    """PII masking is regexp_replace/regexp_count only — no Python eval in
+    the plan (the whole rewrite rides whole-stage codegen)."""
+    from pdf_extraction_spark.operators.scrub import q_redact_pii
+
+    plan = plan_of(q_redact_pii(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_vocab_stats_has_partial_aggregation(spark):
+    """Token counting must combine map-side before the shuffle, and top-k
+    must be TakeOrdered (no global sort of the vocabulary)."""
+    from pdf_extraction_spark.operators.textstats import q_vocab_stats
+
+    plan = plan_of(q_vocab_stats(spark, SF))
+    assert "partial_count" in plan or "partial" in plan
+    assert "TakeOrderedAndProject" in plan
