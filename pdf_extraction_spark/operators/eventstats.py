@@ -1,0 +1,171 @@
+"""Event-analytics operators: funnel, per-group top-k, histogram, exact
+percentiles.
+
+The reference's only analytics are the flat stats endpoints (SURVEY §2.4,
+app/routers/stats.py); these four add the standard event-warehouse
+workload classes a production metrics layer needs, each with an exact
+DuckDB oracle:
+
+- funnel      : ordered-stage conversion (view → click AFTER the first
+                view → purchase AFTER that click). Stage N is an equi-join
+                of stage N-1's per-user frontier (a tiny aggregate —
+                broadcastable) against one filtered scan; strictly-after
+                comparisons keep tie handling deterministic.
+- top-k/group : row_number window over (event_type) — one shuffle on the
+                group key; ties broken by event_id so the result is
+                deterministic in both engines.
+- histogram   : fixed-width value bins via floor(value/width) — pure
+                column arithmetic, one partial-aggregated groupBy. (The
+                binning is intentionally data-independent: a min/max scan
+                first would add a pass at 100 TB for no analytical gain.)
+- percentiles : EXACT linear-interpolated per-group percentiles (Spark
+                `percentile` == DuckDB `quantile_cont`: both are the
+                type-7 estimator a + (b-a)·frac over the sorted values,
+                bit-identical given identical input doubles). At
+                100 TB one would flip to percentile_approx and accept a
+                rows-only bound; the exact form is kept because it is the
+                oracle-checkable one and the per-group sort is bounded by
+                the group's row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.sources.tables import load_testdata as T
+
+TOPK_PER_GROUP = 3
+HIST_BIN_WIDTH = 25.0
+
+
+def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """view → click → purchase ordered funnel; one row of stage counts +
+    median seconds from first view to converting purchase."""
+    ev = T(spark, sf, "events")
+
+    def stage(event_type: str):
+        return ev.filter(F.col("event_type") == event_type)
+
+    v = stage("view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        stage("click").join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
+    )
+    p = (
+        stage("purchase").join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.first("t_view").alias("t_view"))
+    )
+    secs = F.unix_timestamp("t_purchase") - F.unix_timestamp("t_view")
+    pp = p.select(secs.cast("double").alias("t_secs"))
+    # three single-row aggregates cross-joined into one summary row (the
+    # cross joins are 1×1×1 — literal-sized, no data movement)
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
+        .crossJoin(
+            pp.agg(
+                F.count("*").alias("n_purchased_after"),
+                F.round(F.expr("percentile(t_secs, 0.5)"), 6).alias("median_view_to_purchase_s"),
+            )
+        )
+    )
+
+
+_SQL_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click, min(v.t_view) AS t_view
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase, min(c.t_view) AS t_view
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM c) AS n_clicked_after,
+       (SELECT count(*) FROM p) AS n_purchased_after,
+       -- floor(epoch()): DuckDB keeps sub-second fractions, Spark's
+       -- unix_timestamp truncates to whole seconds — match Spark
+       (SELECT round(quantile_cont(CAST(floor(epoch(t_purchase)) - floor(epoch(t_view)) AS DOUBLE), 0.5), 6)
+        FROM p) AS median_view_to_purchase_s
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 events by value within each event_type (deterministic ties
+    via event_id) — the rank-window workload class."""
+    ev = T(spark, sf, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_PER_GROUP)
+        .select("event_type", "rk", "event_id", "value")
+        .orderBy("event_type", "rk")
+    )
+
+
+_SQL_TOPK = f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+)
+SELECT event_type, rk, event_id, value FROM r WHERE rk <= {TOPK_PER_GROUP}
+ORDER BY event_type, rk
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width value histogram per event_type: bin = floor(value/W)."""
+    ev = T(spark, sf, "events")
+    b = F.floor(F.col("value") / F.lit(HIST_BIN_WIDTH)).cast("int")
+    return (
+        ev.groupBy("event_type", b.alias("bin"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type", "bin")
+    )
+
+
+_SQL_HIST = f"""
+SELECT event_type, CAST(floor(value / {HIST_BIN_WIDTH}) AS INTEGER) AS bin,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, CAST(floor(value / {HIST_BIN_WIDTH}) AS INTEGER)
+ORDER BY event_type, bin
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group p50/p95 (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation over the sorted set)."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_PCT = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "funnel_view_click_purchase": (q_funnel, _SQL_FUNNEL),
+    "topk_per_group": (q_topk_per_group, _SQL_TOPK),
+    "value_histogram": (q_value_histogram, _SQL_HIST),
+    "value_percentiles": (q_value_percentiles, _SQL_PCT),
+}
