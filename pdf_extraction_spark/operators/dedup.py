@@ -385,13 +385,14 @@ def _edge_sig(E: DataFrame):
     return (r["n"], r["x"])
 
 
-def neardup_clusters(pairs: DataFrame) -> DataFrame:
+def neardup_clusters(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
     """(doc_id, keeper) for every doc in a duplicate cluster; keeper is the
     cluster's min doc_id. ``pairs`` must have (doc_a, doc_b) with
     doc_a < doc_b.
 
     Raises RuntimeError if the star contraction has not converged after
     MAX_CC_ROUNDS rounds — wrong clusters are never returned silently.
+    ``stats`` (optional) receives {"rounds", "edges"} for scale telemetry.
     """
     verts = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -405,8 +406,9 @@ def neardup_clusters(pairs: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     sig = _edge_sig(E)
+    rounds = 0
     if sig[0]:
-        for _ in range(MAX_CC_ROUNDS):
+        for rounds in range(1, MAX_CC_ROUNDS + 1):
             # checkpoint between the phases too: small-star reads its input
             # twice (min agg + join), and checkpoint both truncates the plan
             # and caches the data (dropped rounds are GC'd by the context
@@ -422,6 +424,9 @@ def neardup_clusters(pairs: DataFrame) -> DataFrame:
                 f"neardup_clusters star contraction did not converge within "
                 f"{MAX_CC_ROUNDS} rounds — refusing to return split clusters"
             )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["edges"] = sig[0]
     # fixed point = star forest: centers (a-side) are component minima;
     # every other vertex appears exactly once as a b-side leaf
     return (
