@@ -163,9 +163,72 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Binned point-in-interval range join. A naive `ts BETWEEN start AND end`
+# join has no equi-key, so Spark plans it as BroadcastNestedLoopJoin —
+# O(|events|·|windows|) comparisons, the classic range-join scale trap.
+# The binned form derives a DAY bin on both sides (windows explode into
+# the days they overlap — bounded by window length), equi-joins on the
+# bin (hashable, shuffle- or broadcast-friendly), then applies the exact
+# interval predicate to trim bin-edge false candidates. Work drops to
+# O(|events| + |windows|·days_per_window + |candidates|). The windows are
+# deliberately NOT day-aligned (06:00 starts) so the exact trim is load-
+# bearing, and the DuckDB oracle runs the naive BETWEEN join — proving the
+# binned plan computes the identical relation.
+
+N_WINDOWS = 10
+_SECS_PER_DAY = 86400
+
+
+def q_range_join_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Per maintenance window (48 h every 3 days, starting 06:00): event
+    count + value sum, via the day-binned equi-join."""
+    ev = T(spark, sf, "events")
+    base = F.to_timestamp(F.lit("2024-01-01 06:00:00"))
+    wins = spark.range(N_WINDOWS).select(
+        F.col("id").cast("int").alias("win_id"),
+        (base + F.make_interval(days=F.col("id") * 3)).alias("w_start"),
+        (base + F.make_interval(days=F.col("id") * 3, hours=F.lit(48))).alias("w_end"),
+    )
+    win_days = wins.select(
+        "win_id", "w_start", "w_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("w_start") / _SECS_PER_DAY),
+                # end-exclusive: the last covered day is the one holding
+                # w_end - 1s (w_end itself starts the next candidate day)
+                F.floor((F.unix_timestamp("w_end") - 1) / _SECS_PER_DAY),
+            )
+        ).alias("day"),
+    )
+    ev_binned = ev.withColumn("day", F.floor(F.unix_timestamp("ts") / _SECS_PER_DAY))
+    joined = ev_binned.join(F.broadcast(win_days), "day").filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    return (
+        joined.groupBy("win_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("win_id")
+    )
+
+
+_SQL_RANGE_JOIN = f"""
+WITH wins AS (
+  SELECT CAST(i AS INTEGER) AS win_id,
+         TIMESTAMP '2024-01-01 06:00:00' + i * INTERVAL 3 DAY AS w_start,
+         TIMESTAMP '2024-01-01 06:00:00' + i * INTERVAL 3 DAY + INTERVAL 48 HOUR AS w_end
+  FROM (SELECT unnest(generate_series(0, {N_WINDOWS - 1})) AS i)
+)
+SELECT w.win_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+FROM wins w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.win_id ORDER BY w.win_id
+"""
+
+
 QUERIES = {
     "funnel_view_click_purchase": (q_funnel, _SQL_FUNNEL),
     "topk_per_group": (q_topk_per_group, _SQL_TOPK),
     "value_histogram": (q_value_histogram, _SQL_HIST),
     "value_percentiles": (q_value_percentiles, _SQL_PCT),
+    "range_join_windows": (q_range_join_windows, _SQL_RANGE_JOIN),
 }

@@ -127,3 +127,15 @@ def test_vocab_stats_has_partial_aggregation(spark):
     plan = plan_of(q_vocab_stats(spark, SF))
     assert "partial_count" in plan or "partial" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_binned_equi_join(spark):
+    """The point-in-interval join must plan as a day-binned equi-join —
+    never the BroadcastNestedLoopJoin a bare BETWEEN predicate produces
+    (O(|events|·|windows|) comparisons at scale)."""
+    from pdf_extraction_spark.operators.eventstats import q_range_join_windows
+
+    plan = plan_of(q_range_join_windows(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
