@@ -184,6 +184,37 @@ def stream_dedup_turns(
     )
 
 
+def stream_enrich_events(
+    spark: SparkSession,
+    src_dir: str,
+    dim: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 16,
+):
+    """Stream-static enrichment join: streaming events LEFT-joined to a
+    static per-key dimension, broadcast to every micro-batch (the standard
+    'decorate the firehose with reference data' topology). The static side
+    is planned once and hash-broadcast — each micro-batch pays a map-side
+    lookup, no stream-side shuffle. Unmatched keys keep their rows (left
+    join) with null enrichment, so the stream never drops events because
+    reference data lags. Returns the started StreamingQuery."""
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    enriched = events.join(F.broadcast(dim), "user_id", "left")
+    return (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 EXPIRED_SENTINEL = "__expired__"
 
 

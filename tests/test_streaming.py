@@ -254,3 +254,41 @@ def test_stateful_dedup_continuous_engine_ttl(spark, tmp_path):
         assert list(re_emitted["state_size"]) == [1]  # window RESET, not grown
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Streaming events broadcast-joined to a static dimension must equal
+    the batch join row-for-row, including left-join null enrichment for
+    keys absent from the dimension."""
+    from pdf_extraction_spark.streaming.jobs import stream_enrich_events
+
+    src = str(tmp_path / "esrc")
+    os.makedirs(src)
+    shutil.copy(os.path.join(SF, "events.parquet"), os.path.join(src, "part-0.parquet"))
+    static_events = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    # dimension deliberately misses some users (user_id % 3 == 0 dropped)
+    dim = (
+        static_events.groupBy("user_id")
+        .agg(F.round(F.avg("value"), 6).alias("user_avg"))
+        .filter(F.col("user_id") % 3 != 0)
+    )
+
+    out, ckpt = str(tmp_path / "eout"), str(tmp_path / "eck")
+    q = stream_enrich_events(spark, src, dim, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .select("event_id", "user_id", "user_avg")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    want = (
+        static_events.join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "user_id", "user_avg")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    assert len(got) == len(want) == static_events.count()
+    assert got["user_avg"].isna().any()          # unmatched keys kept as null
+    assert got.equals(want)
