@@ -532,3 +532,103 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_topk"] = (q_ann_ivf_topk, None)
+
+
+# --------------------------------------------------------------------------
+# Bucket-pruned LSH top-k — the LSH counterpart of ivf_search and the
+# query-side completion of the sign-LSH story: brute force is the oracle
+# reference, IVF probes centroid lists, THIS probes the query's (band,
+# bucket) cells across all bands and exact-scores only those candidates.
+# At 10⁹ vectors with the bucket table written bucket-partitioned, a query
+# touches n_bands/2^planes_per_band of the data instead of all of it.
+# Fully SQL-oracled (integer plane family + quantized cosine).
+
+
+def _query_buckets(query_vec, n_bands: int = NB_BANDS, planes_per_band: int = PLANES_PER_BAND):
+    """The query vector's (band, bucket) cells — driver-side numpy over the
+    same integer plane family the distributed signature stage uses (exact
+    int64: bit-identical to the SQL oracle)."""
+    P = np.array([_plane_comps(p) for p in range(n_bands * planes_per_band)], dtype=np.int64)
+    q = np.round(np.array(query_vec, dtype=np.float64) * 10000.0).astype(np.int64)
+    bits = (P @ q > 0).astype(np.int64)
+    return [
+        (b, int(sum(bits[b * planes_per_band + i] << i for i in range(planes_per_band))))
+        for b in range(n_bands)
+    ]
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k by exact quantized cosine WITHIN the query's LSH cells."""
+    emb = T(spark, sf, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()  # 1 row
+    query_vec = list(qrow[0]["embedding"])
+    probe = spark.createDataFrame(_query_buckets(query_vec), "band int, bucket long")
+
+    sigs = lsh_band_signatures(emb, NB_BANDS, PLANES_PER_BAND)
+    cand_ids = (
+        sigs.join(F.broadcast(probe), ["band", "bucket"])
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+        .distinct()
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand_ids.join(emb, "vec_id").select(
+        "vec_id",
+        quantized_dot(F.col("embedding"), qarr).alias("qdot"),
+        quantized_norm2(F.col("embedding")).alias("qn_a"),
+        quantized_norm2(qarr).alias("qn_b"),
+    ).select(
+        "vec_id",
+        F.round(F.col("qdot") / (F.sqrt("qn_a") * F.sqrt("qn_b")), 6).alias("cosine"),
+        "qdot",
+    )
+    return scored.orderBy(F.desc("qdot"), F.asc("vec_id")).limit(TOP_K).select("vec_id", "cosine")
+
+
+_SQL_LSH_TOPK = f"""
+WITH planes AS (
+  SELECT pp.p, jj.j,
+         CAST(('0x' || substring(md5('plane:' || pp.p || ':' || jj.j), 1, 7)) AS INTEGER)
+           - 134217728 AS comp
+  FROM (SELECT unnest(generate_series(0, {_NP_TOTAL - 1})) AS p) pp,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS j) jj
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+qdots AS (
+  SELECT pl.p,
+         sum(CAST(round(CAST(q.qe[pl.j + 1] AS DOUBLE) * 10000) AS BIGINT) * pl.comp) AS dot
+  FROM q, planes pl GROUP BY pl.p
+),
+qsig AS (
+  SELECT p // {PLANES_PER_BAND} AS band,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % {PLANES_PER_BAND}) ELSE 0 END) AS BIGINT) AS bucket
+  FROM qdots GROUP BY p // {PLANES_PER_BAND}
+),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         sum(CAST(round(CAST(e.embedding[pl.j + 1] AS DOUBLE) * 10000) AS BIGINT) * pl.comp) AS dot
+  FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p
+),
+sig AS (
+  SELECT vec_id, p // {PLANES_PER_BAND} AS band,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << (p % {PLANES_PER_BAND}) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, p // {PLANES_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT s.vec_id
+  FROM sig s JOIN qsig ON s.band = qsig.band AND s.bucket = qsig.bucket
+  WHERE s.vec_id <> {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT c.vec_id,
+         {_qd_sql('e.embedding', 'q.qe')} AS qdot,
+         {_qd_sql('e.embedding', 'e.embedding')} AS qn_a,
+         {_qd_sql('q.qe', 'q.qe')} AS qn_b
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
+)
+SELECT vec_id, round(qdot / (sqrt(qn_a) * sqrt(qn_b)), 6) AS cosine
+FROM scored ORDER BY qdot DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+QUERIES["ann_lsh_topk"] = (q_ann_lsh_topk, _SQL_LSH_TOPK)

@@ -95,3 +95,15 @@ def test_numpy_scoring_matches_hof_sql_twin(spark):
         .filter((F.col("np_dot") != F.col("hof_dot")) | (F.col("np_n2") != F.col("hof_n2")))
     )
     assert both.count() == 0
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    """Bucket-pruned LSH top-k must recover most of the exact top-k (the
+    prune trades the tail, not the head)."""
+    from pdf_extraction_spark.operators.similarity import q_ann_lsh_topk
+
+    exact = [r["vec_id"] for r in q_ann_cosine_topk(spark, SF).collect()]
+    pruned = [r["vec_id"] for r in q_ann_lsh_topk(spark, SF).collect()]
+    assert len(pruned) == TOP_K
+    recall = len(set(exact) & set(pruned)) / TOP_K
+    assert recall >= 0.7, f"LSH top-k recall {recall}: exact={exact} pruned={pruned}"
