@@ -1,0 +1,82 @@
+"""Table maintenance: binpack compaction (checksum-verified) and Z-order
+locality rewrite."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.sources.maintenance import (
+    compact_table,
+    write_zordered,
+    zorder_value,
+)
+from pdf_extraction_spark.sources.tables import TableIO
+
+
+def test_compact_table_binpacks_and_preserves_content(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path / "w"))
+    df = (
+        spark.range(20_000)
+        .select(
+            (F.col("id") % 8).cast("int").alias("bucket"),
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        .repartition(32)  # fragment: 32 tasks × 8 buckets ≈ 256 small files
+    )
+    io.write(df, "t", mode="append", partition_by=["bucket"])
+    io.write(df.withColumn("k", F.col("k") + 20_000), "t", mode="append",
+             partition_by=["bucket"])  # second append fragments further
+
+    res = compact_table(io, "t", partition_by=["bucket"])
+    assert res["rows"] == 40_000
+    assert res["files_before"] > 100
+    assert res["files_after"] == 8  # one file per bucket partition
+    got = io.read("t")
+    assert got.count() == 40_000
+    assert got.select(F.countDistinct("k")).collect()[0][0] == 40_000
+
+
+def test_zorder_values_closed_form(spark):
+    """Closed-form Morton codes: z interleaves a into even bits, b into
+    odd bits — z(0b11, 0) = 0b0101 = 5, z(0, 0b11) = 0b1010 = 10."""
+    cases = [(3, 0, 5), (0, 3, 10), (3, 3, 15), (1, 2, 9), (0, 0, 0)]
+    df = spark.createDataFrame([(a, b) for a, b, _ in cases], "a int, b int")
+    got = [r[0] for r in df.select(zorder_value(F.col("a"), F.col("b"), bits=4)).collect()]
+    assert got == [z for _, _, z in cases]
+
+
+def test_zorder_layout_concentrates_box_queries(spark, tmp_path):
+    """A 16×16 box predicate over a 256×256 grid must touch FAR fewer
+    files under the Z-order layout than under a hash-scattered one — the
+    locality that file-level (Iceberg manifest) and row-group (parquet
+    min/max) pruning exploit."""
+    io = TableIO(spark, str(tmp_path / "w"))
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("a"),
+        (F.col("id") / 256).cast("int").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    # ingestion-realistic scattered layout: hash-shuffled into 64 files
+    io.write(grid.repartition(64), "plain", mode="overwrite")
+    write_zordered(io, grid, "zordered", "a", "b", n_files=64, bits=8)
+
+    def files_with_hits(name: str) -> int:
+        hits = (
+            io.read(name)
+            .filter((F.col("a") >= 16) & (F.col("a") < 32)
+                    & (F.col("b") >= 16) & (F.col("b") < 32))
+            .select(F.input_file_name().alias("f"))
+        )
+        return hits.distinct().count()
+
+    # both layouts hold identical data
+    assert io.read("zordered").count() == 256 * 256
+    assert (
+        io.read("zordered").select(F.bit_xor(F.xxhash64("a", "b", "payload"))).collect()
+        == io.read("plain").select(F.bit_xor(F.xxhash64("a", "b", "payload"))).collect()
+    )
+    scattered, zordered = files_with_hits("plain"), files_with_hits("zordered")
+    assert scattered >= 32            # hash layout smears the box everywhere
+    assert zordered <= 8, (scattered, zordered)  # z-curve keeps it local

@@ -86,13 +86,16 @@ def test_no_per_row_python_udfs_in_codebase():
         if "F.udf(" in src or "@udf" in src:
             offenders.append(str(p))
         if ".collect()" in src and p.name not in (
-            "checkpoint.py", "similarity.py", "review_queue.py", "dedup.py"
+            "checkpoint.py", "similarity.py", "review_queue.py", "dedup.py",
+            "maintenance.py",
         ):
             # allowed: checkpoint.py (≤ n_buckets ledger rows),
             # similarity.py (k×dim IVF centroid matrix + 1 query vector),
             # review_queue.py (already-enqueued bucket-id dedup set),
             # dedup.py (_edge_sig: ONE (count, xor) scalar pair per
-            # star-contraction round — convergence detection) —
+            # star-contraction round — convergence detection),
+            # maintenance.py (_table_checksum: one (count, xor) row for
+            # compaction content verification) —
             # all metadata-sized driver state, never data rows
             offenders.append(f"{p}: collect outside ledger/centroids")
     assert not offenders, offenders
