@@ -48,6 +48,10 @@ HEADLINE = (
     "redact_pii",
     "contamination_check",
     "vocab_stats",
+    "funnel_view_click_purchase",
+    "range_join_windows",
+    "value_percentiles",
+    "ann_lsh_topk",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales

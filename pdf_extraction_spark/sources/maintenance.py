@@ -96,6 +96,47 @@ def compact_table(
 
 
 # --------------------------------------------------------------------------
+def upsert_rows(
+    io: TableIO,
+    name: str,
+    updates: DataFrame,
+    keys: List[str],
+    partition_col: str,
+) -> dict:
+    """Row-level MERGE (upsert) into a partitioned table — the Iceberg
+    ``MERGE INTO`` analogue under dynamic partition overwrite. Matched
+    keys are replaced, unmatched keys inserted, and ONLY the partitions
+    holding updated keys are rewritten: untouched partitions' files are
+    never touched (a test pins this via file mtimes). ``updates`` must
+    carry ``partition_col`` with values consistent with the table's
+    partitioning scheme.
+
+    Mechanics: collect the affected partition values (metadata-sized),
+    read ONLY those partitions, anti-join out the updated keys, union the
+    updates, materialize (localCheckpoint — Spark refuses to overwrite a
+    path an active plan still reads; Iceberg's snapshot commit makes this
+    staging unnecessary), and dynamic-overwrite just those partitions.
+    Cost is proportional to the affected partitions, not the table.
+    Returns {partitions_rewritten, rows_updated, rows_inserted}.
+    """
+    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    cur = io.read(name).filter(F.col(partition_col).isin(parts))
+    n_matched = cur.join(updates.select(*keys).distinct(), keys, "left_semi").count()
+    merged = (
+        cur.join(updates.select(*keys).distinct(), keys, "left_anti")
+        .unionByName(updates.select(*cur.columns))
+        .localCheckpoint(eager=True)
+    )
+    io.write(merged, name, mode="overwrite_partitions", partition_by=[partition_col])
+    n_updates = updates.count()
+    return {
+        "partitions_rewritten": len(parts),
+        "rows_updated": n_matched,
+        "rows_inserted": n_updates - n_matched,
+    }
+
+
+# --------------------------------------------------------------------------
 ZORDER_BITS = 16
 
 

@@ -80,3 +80,52 @@ def test_zorder_layout_concentrates_box_queries(spark, tmp_path):
     scattered, zordered = files_with_hits("plain"), files_with_hits("zordered")
     assert scattered >= 32            # hash layout smears the box everywhere
     assert zordered <= 8, (scattered, zordered)  # z-curve keeps it local
+
+
+def test_upsert_rows_rewrites_only_affected_partitions(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, new keys inserted, and the
+    rewrite touches ONLY partitions holding updated keys (file mtimes of
+    untouched partitions must not change)."""
+    import time
+
+    from pdf_extraction_spark.sources.maintenance import upsert_rows
+
+    io = TableIO(spark, str(tmp_path / "w"))
+    base = spark.range(800).select(
+        (F.col("id") % 8).cast("int").alias("bucket"),
+        F.col("id").alias("k"),
+        F.lit("old").alias("payload"),
+    )
+    io.write(base, "t", mode="append", partition_by=["bucket"])
+
+    def mtimes():
+        out = {}
+        root = io.path("t")
+        for d in os.listdir(root):
+            if d.startswith("bucket="):
+                files = glob.glob(os.path.join(root, d, "*.parquet"))
+                out[d] = sorted((f, os.path.getmtime(f)) for f in files)
+        return out
+
+    before = mtimes()
+    time.sleep(1.1)  # mtime resolution
+
+    # two replacements + one brand-new key, all in bucket 2 (k % 8 == 2)
+    updates = spark.createDataFrame(
+        [(2, 2, "new"), (2, 10, "new"), (2, 9000, "new")],
+        "bucket int, k long, payload string",
+    )
+    res = upsert_rows(io, "t", updates, keys=["k"], partition_col="bucket")
+    assert res == {"partitions_rewritten": 1, "rows_updated": 2, "rows_inserted": 1}
+
+    got = io.read("t")
+    assert got.count() == 801
+    news = {r["k"] for r in got.filter(F.col("payload") == "new").collect()}
+    assert news == {2, 10, 9000}
+
+    after = mtimes()
+    for d in before:
+        if d == "bucket=2":
+            assert before[d] != after[d], "affected partition must be rewritten"
+        else:
+            assert before[d] == after[d], f"{d} was touched by an unrelated upsert"
