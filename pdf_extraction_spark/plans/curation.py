@@ -1,0 +1,120 @@
+"""Corpus curation: the end-to-end training-data pipeline composed from
+this engine's operators — what a user actually runs between raw
+transcripts and a training corpus.
+
+    extract_stage output
+      → quality gate        (status == ok, quality_score ≥ threshold)
+      → exact dedup         (md5 keep-first — C1 generalized corpus-wide)
+      → near-dup dedup      (MinHash/LSH pairs → star-contraction clusters
+                             → keep each cluster's canonical member)
+      → PII redaction       (codegen regex mask, hit counts kept as columns)
+      → deterministic split (hash-range train/val/test — growth-stable,
+                             resumable: a row's split never depends on the
+                             rest of the corpus)
+      → curated table       (written split-partitioned) + per-stage stats
+
+Every stage is one of the independently-oracled operators; this module
+only composes them, so its correctness surface is (a) stage counts are
+monotone non-increasing through the filters, (b) the output has no
+duplicate content hash, (c) the whole pipeline is deterministic
+(re-running produces a bit-identical table). All three are pinned in
+tests/test_curation.py.
+
+Scale notes: the doc key is ``xxhash64(conv_id, turn_idx)`` — deterministic
+under re-execution (a row_number would not be). The near-dup stage
+dominates cost and inherits the capped-band LSH plan; everything else is
+map-only or single-shuffle. Stats are one row per stage (driver-safe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.cache import release_caches
+from pdf_extraction_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
+from pdf_extraction_spark.operators.sampling import dataset_split
+from pdf_extraction_spark.operators.scrub import EMAIL_RE, PHONE_RE
+from pdf_extraction_spark.sources.tables import TableIO
+
+MIN_QUALITY = 0.3
+
+
+def curate_corpus(
+    spark: SparkSession,
+    extracted: DataFrame,
+    out_root: Optional[str] = None,
+    min_quality: float = MIN_QUALITY,
+) -> dict:
+    """Run the curation chain over extraction output; returns per-stage
+    stats. When ``out_root`` is given the curated corpus is written there
+    (table ``curated``, partitioned by split) along with a one-row-per-
+    stage ``curation_stats`` table."""
+    docs = extracted.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+        "conv_id", "turn_idx", "extracted_text", "quality_score", "status",
+    )
+    n_input = docs.count()
+
+    # 1. quality gate — the reference's routing threshold logic as a filter
+    gated = docs.filter(
+        (F.col("status") == "ok") & (F.col("quality_score") >= min_quality)
+    )
+    n_gated = gated.count()
+
+    # 2. exact dedup: md5 keep-first (min doc_id wins — deterministic)
+    hashed = gated.withColumn("text_md5", F.md5("extracted_text"))
+    keep_exact = hashed.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
+    exact = hashed.join(keep_exact, ["text_md5", "doc_id"], "left_semi")
+    n_exact = exact.count()
+
+    # 3. near-dup dedup over the survivors: verified pairs → components →
+    #    keep each cluster's min-id member. Pairs are checkpointed once
+    #    (the contraction loop re-reads them every round), then the
+    #    signature caches are released.
+    corpus = exact.select("doc_id", F.col("extracted_text").alias("text"))
+    pairs = minhash_lsh_pairs(corpus).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    release_caches()
+    clusters = neardup_clusters(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("keeper")).select("doc_id")
+    neardup = exact.join(dropped, "doc_id", "left_anti")
+    n_neardup = neardup.count()
+
+    # 4. PII redaction — same codegen mask as the oracled redact_pii query
+    redacted = neardup.select(
+        "doc_id", "conv_id", "turn_idx", "quality_score", "text_md5",
+        F.regexp_replace(
+            F.regexp_replace("extracted_text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("text"),
+        (F.regexp_count("extracted_text", F.lit(EMAIL_RE))
+         + F.regexp_count("extracted_text", F.lit(PHONE_RE))).alias("n_pii_hits"),
+    )
+
+    # 5. growth-stable split on the doc key
+    curated = dataset_split(redacted, "doc_id")
+    mix = {r["split"]: r["n"] for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n_pii = curated.agg(F.sum(F.when(F.col("n_pii_hits") > 0, 1).otherwise(0))).collect()[0][0]
+
+    stats = {
+        "n_input": n_input,
+        "n_quality_gated": n_gated,
+        "n_after_exact_dedup": n_exact,
+        "n_after_neardup": n_neardup,
+        "n_docs_with_pii": int(n_pii or 0),
+        "split_mix": {k: int(v) for k, v in sorted(mix.items())},
+    }
+
+    if out_root:
+        io = TableIO(spark, out_root)
+        io.write(curated, "curated", mode="overwrite", partition_by=["split"])
+        stage_rows = [
+            ("input", n_input), ("quality_gate", n_gated),
+            ("exact_dedup", n_exact), ("neardup_dedup", n_neardup),
+        ]
+        io.write(
+            spark.createDataFrame(stage_rows, "stage string, n_docs bigint"),
+            "curation_stats", mode="overwrite",
+        )
+    return stats

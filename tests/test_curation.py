@@ -1,0 +1,72 @@
+"""End-to-end corpus curation (plans/curation.py): stage monotonicity,
+dedup guarantees, PII masking, and full-pipeline determinism."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark import fixtures
+from pdf_extraction_spark.plans.curation import curate_corpus
+from pdf_extraction_spark.plans.pipeline import extract_stage
+from pdf_extraction_spark.sources.tables import TableIO
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    pdf = fixtures.transcripts_pandas(n_convs=30, whale_every=10, whale_len=40)
+    df = spark.createDataFrame(pdf)
+    # inject PII + an exact duplicate pair so the respective stages have
+    # observable work even if fixtures drift
+    df = df.withColumn(
+        "text",
+        F.when(F.col("turn_idx") == 1,
+               F.concat(F.col("text"), F.lit(" reach me at probe@example.com")))
+        .otherwise(F.col("text")),
+    )
+    return extract_stage(df).localCheckpoint(eager=True)
+
+
+def test_curation_stage_invariants(spark, extracted, tmp_path):
+    out = str(tmp_path / "cur")
+    stats = curate_corpus(spark, extracted, out_root=out)
+
+    # monotone shrink through the filtering stages
+    assert (stats["n_input"] >= stats["n_quality_gated"]
+            >= stats["n_after_exact_dedup"] >= stats["n_after_neardup"])
+    assert stats["n_after_neardup"] > 0
+    # splits cover the survivors exactly
+    assert sum(stats["split_mix"].values()) == stats["n_after_neardup"]
+    assert set(stats["split_mix"]) <= {"train", "val", "test"}
+    # the injected addresses survive gating and are masked
+    assert stats["n_docs_with_pii"] > 0
+
+    io = TableIO(spark, out)
+    curated = io.read("curated")
+    # no duplicate content remains
+    n = curated.count()
+    assert curated.select("text_md5").distinct().count() == n
+    # no unmasked PII text anywhere
+    assert curated.filter(F.col("text").contains("probe@example.com")).count() == 0
+    assert curated.filter(F.col("text").contains("<EMAIL>")).count() > 0
+    # stage stats table mirrors the returned dict
+    stages = {r["stage"]: r["n_docs"] for r in io.read("curation_stats").collect()}
+    assert stages["input"] == stats["n_input"]
+    assert stages["neardup_dedup"] == stats["n_after_neardup"]
+
+
+def test_curation_is_deterministic(spark, extracted, tmp_path):
+    """Re-running the whole chain must produce the identical corpus —
+    resumable curation depends on it (hash keys, not row order)."""
+    a = curate_corpus(spark, extracted, out_root=str(tmp_path / "a"))
+    b = curate_corpus(spark, extracted, out_root=str(tmp_path / "b"))
+    assert a == b
+
+    def checksum(root):
+        df = TableIO(spark, root).read("curated")
+        return df.agg(
+            F.count("*"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in sorted(df.columns)])),
+        ).collect()[0]
+
+    assert checksum(str(tmp_path / "a")) == checksum(str(tmp_path / "b"))

@@ -87,7 +87,7 @@ def test_no_per_row_python_udfs_in_codebase():
             offenders.append(str(p))
         if ".collect()" in src and p.name not in (
             "checkpoint.py", "similarity.py", "review_queue.py", "dedup.py",
-            "maintenance.py",
+            "maintenance.py", "curation.py",
         ):
             # allowed: checkpoint.py (≤ n_buckets ledger rows),
             # similarity.py (k×dim IVF centroid matrix + 1 query vector),
@@ -95,7 +95,8 @@ def test_no_per_row_python_udfs_in_codebase():
             # dedup.py (_edge_sig: ONE (count, xor) scalar pair per
             # star-contraction round — convergence detection),
             # maintenance.py (_table_checksum: one (count, xor) row for
-            # compaction content verification) —
+            # compaction content verification),
+            # curation.py (per-stage scalar counts + the ≤3-row split mix) —
             # all metadata-sized driver state, never data rows
             offenders.append(f"{p}: collect outside ledger/centroids")
     assert not offenders, offenders
