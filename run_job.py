@@ -35,6 +35,12 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", action="store_true", default=True)
     ap.add_argument("--no-resume", dest="resume", action="store_false")
     ap.add_argument("--master", default=None, help="override only for local runs")
+    ap.add_argument(
+        "--curate", action="store_true",
+        help="after extraction, run the curation chain (quality gate → exact "
+             "dedup → near-dup clustering → PII mask → splits) into "
+             "<output>/curated (+ curation_stats)",
+    )
     args = ap.parse_args(argv)
 
     from pdf_extraction_spark.plans.pipeline import run_extraction
@@ -53,6 +59,13 @@ def main(argv=None) -> int:
         partitions=args.partitions,
         resume=args.resume,
     )
+    if args.curate:
+        from pdf_extraction_spark.plans.curation import curate_corpus
+        from pdf_extraction_spark.sources.tables import TableIO
+
+        extracted = TableIO(spark, args.output).read("extracted")
+        summary["curation"] = curate_corpus(spark, extracted, out_root=args.output)
+
     print(json.dumps(summary))
     spark.stop()
     return 0
