@@ -214,3 +214,44 @@ def test_media_features_real_codecs_end_to_end(spark):
     # fake=False: unknown formats surface codec_unavailable, real ones decode
     got2 = {r["doc_id"]: r for r in media_features(df, fake=False).collect()}
     assert got2[1]["status"] == "ok" and got2[4]["status"] == "codec_unavailable"
+
+
+def test_png_roundtrip_property():
+    """Property: ANY uint8 array (1..24 in each dim, 1-4 channels) encoded
+    with ANY filter type decodes back bit-identically."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extraction_spark.core.codecs import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        f=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, ch, f, seed):
+        arr = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        assert (decode_png(encode_png(arr, filter_type=f)) == arr).all()
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extraction_spark.core.codecs import decode_wav, encode_wav
+
+    @settings(max_examples=20, deadline=None)
+    @given(n=st.integers(1, 2000), ch=st.sampled_from([1, 2]),
+           rate=st.sampled_from([8000, 16000, 44100]), seed=st.integers(0, 2**31 - 1))
+    def check(n, ch, rate, seed):
+        s = np.random.default_rng(seed).integers(-32768, 32767, size=(n, ch)).astype("int16")
+        back, r = decode_wav(encode_wav(s, rate))
+        assert r == rate and back.shape == (n, ch) and (back == s).all()
+
+    check()
