@@ -71,6 +71,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
             raise CodecError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                raise CodecError(f"IHDR length {length} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.extend(data)
@@ -192,7 +194,14 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
-    """WAV bytes → (int16 samples of shape (n_frames, channels), rate)."""
+    """WAV bytes → (int16 samples of shape (n_frames, channels), rate).
+
+    EVERY malformed-payload failure surfaces as CodecError: the stdlib
+    wave module raises wave.Error but also EOFError (truncated chunks) and
+    struct.error; an odd-length data chunk breaks np.frombuffer with a
+    plain ValueError. The Arrow feature stage routes CodecError rows to a
+    'decode_error' status (C3: a poison row must not kill the task), so
+    nothing else may escape here."""
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
             if w.getsampwidth() != 2:
@@ -201,9 +210,14 @@ def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
             raw = w.readframes(n)
             rate = w.getframerate()
             ch = w.getnchannels()
-    except wave.Error as exc:
+        if n == 0 or ch == 0:
+            raise CodecError("empty WAV (0 frames)")
+        samples = np.frombuffer(raw, dtype="<i2").reshape(-1, ch)
+    except CodecError:
+        raise
+    except (wave.Error, EOFError, struct.error, ValueError) as exc:
         raise CodecError(f"malformed WAV: {exc}") from exc
-    return np.frombuffer(raw, dtype="<i2").reshape(-1, ch), rate
+    return samples, rate
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

@@ -178,4 +178,6 @@ class Ledger:
         )
 
     def read(self) -> DataFrame:
-        return self.io.read(LEDGER_TABLE)
+        # mergeSchema for the same reason as _run_rows: ledger dirs may mix
+        # pre-r2 and current file schemas
+        return self.io.read(LEDGER_TABLE, merge_schema=True)

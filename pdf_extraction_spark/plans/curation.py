@@ -64,10 +64,15 @@ def curate_corpus(
     )
     n_gated = gated.count()
 
-    # 2. exact dedup: md5 keep-first (min doc_id wins — deterministic)
+    # 2. exact dedup: md5 keep-first (min doc_id wins — deterministic).
+    # localCheckpoint: `exact` feeds the near-dup corpus, the anti-join,
+    # AND its own count — without it the gate→md5→dedup subtree re-runs
+    # for every downstream action
     hashed = gated.withColumn("text_md5", F.md5("extracted_text"))
     keep_exact = hashed.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
-    exact = hashed.join(keep_exact, ["text_md5", "doc_id"], "left_semi")
+    exact = hashed.join(keep_exact, ["text_md5", "doc_id"], "left_semi").localCheckpoint(
+        eager=True
+    )
     n_exact = exact.count()
 
     # 3. near-dup dedup over the survivors: verified pairs → components →
@@ -92,8 +97,10 @@ def curate_corpus(
          + F.regexp_count("extracted_text", F.lit(PHONE_RE))).alias("n_pii_hits"),
     )
 
-    # 5. growth-stable split on the doc key
-    curated = dataset_split(redacted, "doc_id")
+    # 5. growth-stable split on the doc key. One more checkpoint: the
+    # curated relation serves the split mix, the PII count, AND the write —
+    # materialize the redaction pass once instead of three times
+    curated = dataset_split(redacted, "doc_id").localCheckpoint(eager=True)
     mix = {r["split"]: r["n"] for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()}
     n_pii = curated.agg(F.sum(F.when(F.col("n_pii_hits") > 0, 1).otherwise(0))).collect()[0][0]
 

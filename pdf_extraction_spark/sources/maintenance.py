@@ -68,6 +68,8 @@ def compact_table(
             if f.endswith(".parquet")
         )
 
+    import shutil
+
     before_files = count_files()
     df = io.read(name)
     before = _table_checksum(df) if verify else None
@@ -79,15 +81,26 @@ def compact_table(
         compacted = df.repartition(*[F.col(c) for c in partition_by])
     else:
         compacted = df.coalesce(1)
-    io.rewrite(compacted, name, partition_by=partition_by)
 
+    # stage → VERIFY → swap: the checksum must be compared BEFORE the
+    # original is replaced, so a divergent rewrite aborts with the
+    # known-good data untouched (Iceberg gets this ordering for free from
+    # its snapshot commit; the parquet fallback must do it by hand)
+    tmp = f"{name}__compact_tmp"
+    w = compacted.write
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.mode("overwrite").parquet(io.path(tmp))
     if verify:
-        after = _table_checksum(io.read(name))
+        after = _table_checksum(io.read(tmp))
         if after != before:
+            shutil.rmtree(io.path(tmp), ignore_errors=True)
             raise CompactionChecksumMismatch(
-                f"{name}: checksum {before} -> {after}; staged dir kept the "
-                "new content — investigate before trusting either copy"
+                f"{name}: staged compaction checksum {after} != original "
+                f"{before}; staged copy discarded, original left untouched"
             )
+    shutil.rmtree(io.path(name))
+    os.rename(io.path(tmp), io.path(name))
     return {
         "files_before": before_files,
         "files_after": count_files(),
@@ -119,20 +132,31 @@ def upsert_rows(
     Cost is proportional to the affected partitions, not the table.
     Returns {partitions_rewritten, rows_updated, rows_inserted}.
     """
+    # real MERGE INTO raises when a target row matches multiple source
+    # rows; enforce the mirror-image invariant here (unique update keys)
+    # or the anti-join+union would silently leave duplicate keys behind
+    n_updates = updates.count()
+    n_update_keys = updates.select(*keys).distinct().count()
+    if n_update_keys != n_updates:
+        raise ValueError(
+            f"upsert_rows: updates contain {n_updates - n_update_keys} "
+            f"duplicate key(s) over {keys} — MERGE requires unique source keys"
+        )
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     cur = io.read(name).filter(F.col(partition_col).isin(parts))
-    n_matched = cur.join(updates.select(*keys).distinct(), keys, "left_semi").count()
+    n_matched_keys = (
+        updates.select(*keys).distinct().join(cur, keys, "left_semi").count()
+    )
     merged = (
-        cur.join(updates.select(*keys).distinct(), keys, "left_anti")
+        cur.join(updates.select(*keys), keys, "left_anti")
         .unionByName(updates.select(*cur.columns))
         .localCheckpoint(eager=True)
     )
     io.write(merged, name, mode="overwrite_partitions", partition_by=[partition_col])
-    n_updates = updates.count()
     return {
         "partitions_rewritten": len(parts),
-        "rows_updated": n_matched,
-        "rows_inserted": n_updates - n_matched,
+        "rows_updated": n_matched_keys,
+        "rows_inserted": n_updates - n_matched_keys,
     }
 
 

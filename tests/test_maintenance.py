@@ -129,3 +129,53 @@ def test_upsert_rows_rewrites_only_affected_partitions(spark, tmp_path):
             assert before[d] != after[d], "affected partition must be rewritten"
         else:
             assert before[d] == after[d], f"{d} was touched by an unrelated upsert"
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    """Code-review regression: duplicate source keys would leave duplicate
+    rows in the table after the anti-join+union — MERGE semantics demand a
+    refusal, mirroring MERGE INTO's multiple-match error."""
+    import pytest as _pytest
+
+    from pdf_extraction_spark.sources.maintenance import upsert_rows
+
+    io = TableIO(spark, str(tmp_path / "w"))
+    io.write(
+        spark.createDataFrame([(0, 1, "old")], "bucket int, k long, payload string"),
+        "t", mode="append", partition_by=["bucket"],
+    )
+    dups = spark.createDataFrame(
+        [(0, 1, "v1"), (0, 1, "v2")], "bucket int, k long, payload string"
+    )
+    with _pytest.raises(ValueError, match="duplicate key"):
+        upsert_rows(io, "t", dups, keys=["k"], partition_col="bucket")
+    assert io.read("t").count() == 1  # table untouched by the refusal
+
+
+def test_compaction_mismatch_preserves_original(spark, tmp_path, monkeypatch):
+    """Code-review regression: a divergent compaction must abort BEFORE the
+    swap — original table intact, staged copy discarded."""
+    import pytest as _pytest
+
+    from pdf_extraction_spark.sources import maintenance as m
+
+    io = TableIO(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame(
+        [(0, i, "x") for i in range(10)], "bucket int, k long, payload string"
+    )
+    io.write(df, "t", mode="append", partition_by=["bucket"])
+
+    real = m._table_checksum
+    calls = {"n": 0}
+
+    def corrupting(d):
+        calls["n"] += 1
+        n, x = real(d)
+        return (n, x if calls["n"] == 1 else x ^ 1)  # staged copy "differs"
+
+    monkeypatch.setattr(m, "_table_checksum", corrupting)
+    with _pytest.raises(m.CompactionChecksumMismatch):
+        m.compact_table(io, "t", partition_by=["bucket"])
+    # original survives, staged dir is gone
+    assert io.read("t").count() == 10
+    assert not os.path.isdir(io.path("t__compact_tmp"))

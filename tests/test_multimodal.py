@@ -255,3 +255,46 @@ def test_wav_roundtrip_property():
         assert r == rate and back.shape == (n, ch) and (back == s).all()
 
     check()
+
+
+def test_malformed_wav_variants_route_to_decode_error(spark):
+    """Code-review regression: EVERY malformed-WAV failure mode (truncated
+    chunks → EOFError, odd data-chunk length → ValueError, zero frames)
+    must surface as CodecError → 'decode_error' status, never a dead task."""
+    import struct
+
+    from pdf_extraction_spark.core.codecs import encode_wav
+    from pdf_extraction_spark.operators.multimodal import media_features
+    import numpy as np
+
+    good = encode_wav(np.array([1, 2, 3], dtype="int16"), 8000)
+    truncated = good[:20]                                  # mid-fmt chunk
+    # odd data-chunk byte count: patch the data size field to 3
+    odd = bytearray(good)
+    odd[-8:-4] = struct.pack("<I", 3)
+    empty = encode_wav(np.zeros((0, 1), dtype="int16"), 8000)
+
+    rows = [(1, "audio", bytearray(truncated)), (2, "audio", bytearray(bytes(odd[:-1]))),
+            (3, "audio", bytearray(empty)), (4, "audio", bytearray(good))]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    got = {r["doc_id"]: r["status"] for r in media_features(df, fake=False).collect()}
+    assert got[1] == "decode_error"
+    assert got[2] == "decode_error"
+    assert got[3] == "decode_error"
+    assert got[4] == "ok"
+
+
+def test_png_bad_ihdr_length_is_codec_error():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from pdf_extraction_spark.core.codecs import PNG_MAGIC, CodecError, decode_png
+
+    bad_ihdr = struct.pack(">IIBBBB", 2, 2, 8, 0, 0, 0)  # 12 bytes, not 13
+    chunk = struct.pack(">I", len(bad_ihdr)) + b"IHDR" + bad_ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + bad_ihdr) & 0xFFFFFFFF
+    )
+    with _pytest.raises(CodecError):
+        decode_png(PNG_MAGIC + chunk)
