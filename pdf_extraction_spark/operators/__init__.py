@@ -6,6 +6,7 @@ non-SQL-expressible op (driver then records a rows-only check)."""
 from pdf_extraction_spark.operators import (  # noqa: F401
     asof,
     dedup,
+    embed,
     eventstats,
     multimodal,
     nested,
@@ -21,7 +22,7 @@ from pdf_extraction_spark.operators import (  # noqa: F401
 def all_queries():
     out = {}
     for mod in (relational, dedup, similarity, textstats, multimodal, asof, nested, skew,
-                sampling, scrub, eventstats):
+                sampling, scrub, eventstats, embed):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair

@@ -1,0 +1,141 @@
+"""Deterministic text embeddings via the feature-hashing trick
+(Weinberger et al., "Feature Hashing for Large Scale Multitask Learning",
+ICML 2009 — a published public algorithm): word counts are scattered into
+a fixed-dimension integer vector by a hash-derived index and ±1 sign.
+
+This closes the loop on the similarity stack: every ANN / near-dup
+operator upstream consumes an ``embedding`` column that had to come from
+somewhere — here it comes FROM TEXT, with no model weights, fully
+deterministically, and (because every component is an exact integer sum)
+with a bit-identical DuckDB oracle. The md5-derived index/sign family is
+the same engine-portable construction as the sign-LSH plane family.
+
+Shapes: embedding is ONE Arrow-batched pandas UDF (per-batch word→(j,s)
+memo; numpy scatter-add) — map-only, no shuffle. The registered query
+verifies the embeddings through their USE — exact all-pairs integer
+cosine at a near-dup threshold — which is the oracle twin; at corpus
+scale the same vectors feed ``neardup_bucketed_pairs`` / ``ann_lsh_topk``
+(their int values are exact in float32/quantized form), making the
+bucketed operators the scale path for text too.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.sources.tables import load_testdata as T
+
+EMBED_DIM = 64
+NEARDUP_COS = 0.9
+
+_EMBED_UDF = None
+
+
+def hash_embed(text_col, dim: int = EMBED_DIM):
+    """text → array<bigint> feature-hash embedding. Index = md5('dim:'+w)
+    first 7 hex chars mod dim; sign = parity of md5('sign:'+w) first 2 hex
+    chars; value = Σ sign·count over the doc's words. Lazy pandas UDF."""
+    global _EMBED_UDF
+    if _EMBED_UDF is None:
+
+        @F.pandas_udf("array<bigint>")
+        def embed(texts: pd.Series) -> pd.Series:
+            memo: dict = {}
+
+            def slot(w: str):
+                js = memo.get(w)
+                if js is None:
+                    j = int(hashlib.md5(f"dim:{w}".encode()).hexdigest()[:7], 16) % dim
+                    s = 1 if int(hashlib.md5(f"sign:{w}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+                    memo[w] = js = (j, s)
+                return js
+
+            out = []
+            for t in texts:
+                v = np.zeros(dim, dtype=np.int64)
+                for w in (t.lower().split(" ") if isinstance(t, str) else []):
+                    j, s = slot(w)
+                    v[j] += s
+                out.append(v)
+            return pd.Series(out)
+
+        _EMBED_UDF = embed
+    return _EMBED_UDF(text_col)
+
+
+_ICOS_UDF = None
+
+
+def int_cosine(va, vb):
+    """Exact integer cosine: int64 dot and norms (no quantization — the
+    inputs are already integers), one IEEE double division. Lazy."""
+    global _ICOS_UDF
+    if _ICOS_UDF is None:
+
+        @F.pandas_udf("double")
+        def icos(a: pd.Series, b: pd.Series) -> pd.Series:
+            A = np.array(a.tolist(), dtype=np.int64)
+            B = np.array(b.tolist(), dtype=np.int64)
+            dot = (A * B).sum(axis=1)
+            na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
+            nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))
+            return pd.Series(dot / (na * nb))
+
+        _ICOS_UDF = icos
+    return _ICOS_UDF(va, vb)
+
+
+def q_text_embed_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by feature-hash embedding cosine ≥ NEARDUP_COS —
+    text → embedding → similarity, end to end, exactly oracled (the
+    all-pairs form IS the oracle twin; bucketed LSH is the scale path)."""
+    docs = T(spark, sf, "documents")
+    vecs = docs.select("doc_id", hash_embed(F.col("text")).alias("vec"))
+    a = vecs.select(F.col("doc_id").alias("doc_a"), F.col("vec").alias("va"))
+    b = vecs.select(F.col("doc_id").alias("doc_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.round(int_cosine("va", "vb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SQL_TEXT_EMBED = f"""
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+h AS (SELECT doc_id,
+        ('0x' || substring(md5('dim:' || word), 1, 7))::INTEGER % {EMBED_DIM} AS j,
+        CASE WHEN ('0x' || substring(md5('sign:' || word), 1, 2))::INTEGER % 2 = 0
+             THEN 1 ELSE -1 END AS s,
+        c
+      FROM wc),
+dims AS (SELECT doc_id, j, CAST(sum(s * c) AS BIGINT) AS v FROM h GROUP BY doc_id, j),
+vecs AS (
+  SELECT d.doc_id, list(coalesce(m.v, 0) ORDER BY i.i) AS vec
+  FROM (SELECT DISTINCT doc_id FROM dims) d
+  CROSS JOIN (SELECT unnest(generate_series(0, {EMBED_DIM - 1})) AS i) i
+  LEFT JOIN dims m ON m.doc_id = d.doc_id AND m.j = i.i
+  GROUP BY d.doc_id
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+     round(
+       list_sum([a.vec[i] * b.vec[i] for i in generate_series(1, {EMBED_DIM})]) /
+       (sqrt(list_sum([a.vec[i] * a.vec[i] for i in generate_series(1, {EMBED_DIM})])) *
+        sqrt(list_sum([b.vec[i] * b.vec[i] for i in generate_series(1, {EMBED_DIM})]))), 6) AS cosine
+  FROM vecs a JOIN vecs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= {NEARDUP_COS}
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "text_embed_neardup": (q_text_embed_neardup, _SQL_TEXT_EMBED),
+}
