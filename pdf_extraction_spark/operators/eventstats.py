@@ -53,6 +53,8 @@ def q_funnel(spark: SparkSession, sf: str) -> DataFrame:
         stage("click").join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
+        # F.first is deterministic HERE: t_view joined from a per-user
+        # aggregate, so every row in the group carries the same value
         .agg(F.min("ts").alias("t_click"), F.first("t_view").alias("t_view"))
     )
     p = (

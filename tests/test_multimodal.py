@@ -1,4 +1,5 @@
-"""Multimodal plumbing: binary columns, typed metadata, stubbed decoders."""
+"""Multimodal plumbing: binary columns, typed metadata, REAL stdlib
+PNG/WAV codecs (JPEG/video stubbed + gated)."""
 
 import pytest
 from pyspark.sql import functions as F
