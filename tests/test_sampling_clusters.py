@@ -87,3 +87,10 @@ def test_clusters_match_union_find(spark, edges):
     got = {r["doc_id"]: r["keeper"] for r in neardup_clusters(df).collect()}
     want = _union_find(pairs)
     assert got == want
+
+
+def test_clusters_empty_pairs(spark):
+    """Zero verified pairs → zero clusters (the contraction loop must not
+    run and the empty bit_xor signature must not crash)."""
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert neardup_clusters(df).count() == 0
