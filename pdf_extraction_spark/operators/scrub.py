@@ -88,15 +88,19 @@ def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# the email/phone builders appear in two CASE arms — define once
+_EMAIL_SQL = "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+_PHONE_SQL = (
+    "' call +1' || lpad(CAST(doc_id % 1000 AS VARCHAR), 2, '0')"
+    " || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
 _PII_AUG = f"""
   SELECT doc_id,
          text || CASE CAST(doc_id % 4 AS INTEGER)
-           WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-           WHEN 1 THEN ' call +1' || lpad(CAST(doc_id % 1000 AS VARCHAR), 2, '0')
-                       || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-           WHEN 2 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                       || ' call +1' || lpad(CAST(doc_id % 1000 AS VARCHAR), 2, '0')
-                       || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           WHEN 0 THEN {_EMAIL_SQL}
+           WHEN 1 THEN {_PHONE_SQL}
+           WHEN 2 THEN {_EMAIL_SQL} || {_PHONE_SQL}
            ELSE '' END AS text
   FROM documents
 """

@@ -119,8 +119,7 @@ def quantized_cosine(ea, eb):
 
         @F.pandas_udf("double")
         def qcos(a: pd.Series, b: pd.Series) -> pd.Series:
-            A = np.round(np.array(a.tolist(), dtype=np.float64) * 10000.0).astype(np.int64)
-            B = np.round(np.array(b.tolist(), dtype=np.float64) * 10000.0).astype(np.int64)
+            A, B = _np_quant(a), _np_quant(b)
             dot = (A * B).sum(axis=1)
             na = np.sqrt((A * A).sum(axis=1).astype(np.float64))
             nb = np.sqrt((B * B).sum(axis=1).astype(np.float64))

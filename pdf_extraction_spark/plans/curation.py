@@ -56,13 +56,15 @@ def curate_corpus(
         F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
         "conv_id", "turn_idx", "extracted_text", "quality_score", "status",
     )
-    n_input = docs.count()
-
-    # 1. quality gate — the reference's routing threshold logic as a filter
-    gated = docs.filter(
-        (F.col("status") == "ok") & (F.col("quality_score") >= min_quality)
-    )
-    n_gated = gated.count()
+    # 1. quality gate — the reference's routing threshold logic as a
+    # filter; input + gated counts come from ONE pass over the input
+    passes = (F.col("status") == "ok") & (F.col("quality_score") >= min_quality)
+    counts = docs.agg(
+        F.count("*").alias("n_in"),
+        F.sum(passes.cast("int")).alias("n_ok"),
+    ).collect()[0]
+    n_input, n_gated = int(counts["n_in"]), int(counts["n_ok"] or 0)
+    gated = docs.filter(passes)
 
     # 2. exact dedup: md5 keep-first (min doc_id wins — deterministic).
     # localCheckpoint: `exact` feeds the near-dup corpus, the anti-join,
@@ -98,11 +100,15 @@ def curate_corpus(
     )
 
     # 5. growth-stable split on the doc key. One more checkpoint: the
-    # curated relation serves the split mix, the PII count, AND the write —
-    # materialize the redaction pass once instead of three times
+    # curated relation serves the stats AND the write — materialize the
+    # redaction pass once; split mix and PII count share one aggregation
     curated = dataset_split(redacted, "doc_id").localCheckpoint(eager=True)
-    mix = {r["split"]: r["n"] for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()}
-    n_pii = curated.agg(F.sum(F.when(F.col("n_pii_hits") > 0, 1).otherwise(0))).collect()[0][0]
+    stat_rows = curated.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("n_pii_hits") > 0, 1).otherwise(0)).alias("n_pii"),
+    ).collect()
+    mix = {r["split"]: int(r["n"]) for r in stat_rows}
+    n_pii = sum(int(r["n_pii"] or 0) for r in stat_rows)
 
     stats = {
         "n_input": n_input,

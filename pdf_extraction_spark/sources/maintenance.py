@@ -68,8 +68,6 @@ def compact_table(
             if f.endswith(".parquet")
         )
 
-    import shutil
-
     before_files = count_files()
     df = io.read(name)
     before = _table_checksum(df) if verify else None
@@ -82,25 +80,20 @@ def compact_table(
     else:
         compacted = df.coalesce(1)
 
-    # stage → VERIFY → swap: the checksum must be compared BEFORE the
-    # original is replaced, so a divergent rewrite aborts with the
-    # known-good data untouched (Iceberg gets this ordering for free from
-    # its snapshot commit; the parquet fallback must do it by hand)
-    tmp = f"{name}__compact_tmp"
-    w = compacted.write
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.mode("overwrite").parquet(io.path(tmp))
-    if verify:
-        after = _table_checksum(io.read(tmp))
+    def check_staged(staged: DataFrame) -> None:
+        # runs BEFORE the swap (TableIO.rewrite's verify hook): a divergent
+        # rewrite aborts with the known-good original untouched and the
+        # staged copy discarded (Iceberg gets this ordering for free from
+        # its snapshot commit)
+        after = _table_checksum(staged)
         if after != before:
-            shutil.rmtree(io.path(tmp), ignore_errors=True)
             raise CompactionChecksumMismatch(
                 f"{name}: staged compaction checksum {after} != original "
                 f"{before}; staged copy discarded, original left untouched"
             )
-    shutil.rmtree(io.path(name))
-    os.rename(io.path(tmp), io.path(name))
+
+    io.rewrite(compacted, name, partition_by=partition_by,
+               verify=check_staged if verify else None)
     return {
         "files_before": before_files,
         "files_after": count_files(),

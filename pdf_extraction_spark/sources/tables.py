@@ -99,6 +99,7 @@ class TableIO:
         df: DataFrame,
         name: str,
         partition_by: Optional[List[str]] = None,
+        verify=None,
     ) -> None:
         """Update-in-place: replace table ``name`` with ``df``, where ``df``
         may be DERIVED FROM the current table contents (read → transform →
@@ -108,6 +109,11 @@ class TableIO:
         REPLACE snapshot commit (atomic, no staging dir) — the parquet swap
         is the closest filesystem analogue (one non-atomic window between
         remove and rename, acceptable for single-writer maintenance jobs).
+
+        ``verify`` (optional): callback receiving the STAGED table as a
+        DataFrame, called BEFORE the swap — raise to abort with the
+        original untouched and the staged dir removed (how compaction
+        proves content preservation without risking the known-good copy).
         """
         import shutil
 
@@ -116,6 +122,12 @@ class TableIO:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.mode("overwrite").parquet(self.path(tmp))
+        if verify is not None:
+            try:
+                verify(self.read(tmp))
+            except Exception:
+                shutil.rmtree(self.path(tmp), ignore_errors=True)
+                raise
         if os.path.isdir(self.path(name)):
             shutil.rmtree(self.path(name))
         os.rename(self.path(tmp), self.path(name))

@@ -32,6 +32,36 @@ TRANSCRIPTS_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 )
 
+DEDUP_OUT_SCHEMA = "conv_id string, turn_idx int, text_hash string, state_size int"
+
+
+def _dedup_batch(pdfs, seen_list: list, state_cap: int):
+    """Shared micro-batch body of BOTH stateful-dedup deployments
+    (availableNow + continuous — one implementation, no drift): sort for a
+    deterministic in-batch winner (lowest turn_idx; group row order within
+    a micro-batch is not guaranteed), hash, drop already-seen via
+    vectorized isin, append only the batch's new hashes, FIFO-evict past
+    the cap. Returns (fresh_rows_with_state_size, new_seen)."""
+    import hashlib
+
+    import pandas as pd
+
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values("turn_idx", kind="mergesort")
+    hashes = pdf["text"].fillna("").map(
+        lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
+    )
+    pdf = pdf.assign(text_hash=hashes.values)
+    fresh = pdf[~pdf["text_hash"].isin(seen_list)].drop_duplicates(
+        "text_hash", keep="first"
+    )
+    new_seen = seen_list + fresh["text_hash"].tolist()  # incremental append
+    if len(new_seen) > state_cap:
+        new_seen = new_seen[-state_cap:]  # FIFO eviction
+    out = fresh[["conv_id", "turn_idx", "text_hash"]].copy()
+    out["state_size"] = len(new_seen)
+    return out, new_seen
+
 
 def stream_events_windowed(
     spark: SparkSession,
@@ -129,7 +159,6 @@ def stream_dedup_turns(
     conv_id like everything else. This is the streaming twin of the batch
     C1/C4 dedup ledger.
     """
-    import hashlib
     from typing import Iterable, Iterator, Tuple
 
     import pandas as pd
@@ -141,7 +170,6 @@ def stream_dedup_turns(
         .parquet(src_dir)
     )
 
-    out_schema = "conv_id string, turn_idx int, text_hash string, state_size int"
     state_schema = "expires_at bigint, seen array<string>"
     ttl_ms = int(state_ttl_minutes * 60 * 1000)
 
@@ -154,25 +182,12 @@ def stream_dedup_turns(
             expires_at, seen = state.get
             if now_ms <= expires_at:  # window still live; else fresh window
                 seen_list = list(seen)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values("turn_idx", kind="mergesort")
-        hashes = pdf["text"].fillna("").map(
-            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
-        )
-        pdf = pdf.assign(text_hash=hashes.values)
-        fresh = pdf[~pdf["text_hash"].isin(seen_list)].drop_duplicates(
-            "text_hash", keep="first"
-        )
-        new_seen = seen_list + fresh["text_hash"].tolist()  # incremental append
-        if len(new_seen) > state_cap:
-            new_seen = new_seen[-state_cap:]  # FIFO eviction
+        out, new_seen = _dedup_batch(pdfs, seen_list, state_cap)
         state.update((now_ms + ttl_ms, new_seen))
-        out = fresh[["conv_id", "turn_idx", "text_hash"]].copy()
-        out["state_size"] = len(new_seen)
         yield out
 
     deduped = transcripts.groupBy("conv_id").applyInPandasWithState(
-        dedup, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        dedup, DEDUP_OUT_SCHEMA, state_schema, "append", GroupStateTimeout.NoTimeout
     )
     return (
         deduped.writeStream.format("parquet")
@@ -246,7 +261,6 @@ def stream_dedup_turns_continuous(
 
     Returns the started StreamingQuery; the caller owns ``stop()``.
     """
-    import hashlib
     from typing import Iterable, Iterator, Tuple
 
     import pandas as pd
@@ -258,7 +272,6 @@ def stream_dedup_turns_continuous(
         .parquet(src_dir)
     )
 
-    out_schema = "conv_id string, turn_idx int, text_hash string, state_size int"
     state_schema = "seen array<string>"
     ttl_ms = int(state_ttl_seconds * 1000)
 
@@ -273,26 +286,13 @@ def stream_dedup_turns_continuous(
             )
             return
         seen_list: list = list(state.get[0]) if state.exists else []
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values("turn_idx", kind="mergesort")
-        hashes = pdf["text"].fillna("").map(
-            lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
-        )
-        pdf = pdf.assign(text_hash=hashes.values)
-        fresh = pdf[~pdf["text_hash"].isin(seen_list)].drop_duplicates(
-            "text_hash", keep="first"
-        )
-        new_seen = seen_list + fresh["text_hash"].tolist()  # incremental append
-        if len(new_seen) > state_cap:
-            new_seen = new_seen[-state_cap:]  # FIFO eviction
+        out, new_seen = _dedup_batch(pdfs, seen_list, state_cap)
         state.update((new_seen,))
         state.setTimeoutDuration(ttl_ms)  # any new data re-arms the TTL
-        out = fresh[["conv_id", "turn_idx", "text_hash"]].copy()
-        out["state_size"] = len(new_seen)
         yield out
 
     deduped = transcripts.groupBy("conv_id").applyInPandasWithState(
-        dedup, out_schema, state_schema, "append",
+        dedup, DEDUP_OUT_SCHEMA, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
     return (

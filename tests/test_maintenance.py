@@ -176,6 +176,6 @@ def test_compaction_mismatch_preserves_original(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(m, "_table_checksum", corrupting)
     with _pytest.raises(m.CompactionChecksumMismatch):
         m.compact_table(io, "t", partition_by=["bucket"])
-    # original survives, staged dir is gone
+    # original survives, staged dir is gone (TableIO.rewrite's staging name)
     assert io.read("t").count() == 10
-    assert not os.path.isdir(io.path("t__compact_tmp"))
+    assert not os.path.isdir(io.path("t__tmp"))
