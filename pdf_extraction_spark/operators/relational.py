@@ -786,3 +786,59 @@ QUERIES.update(
         "except_intersect_users": (q_except_intersect_users, _SQL_EXCEPT_INTERSECT),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# §2.3 depth (r3): a SIX-TABLE join — TPC-H Q5 (regional supplier revenue)
+# adapted to the testdata date range. tpch_q1 exercises scan+aggregate;
+# this one exercises what Catalyst's join planning actually does at scale:
+# the dimension chain region(5) → nation(25) → supplier(100) → customer
+# (1.5k) is broadcast end-to-end, so the two FACT tables (orders 15k,
+# lineitem 60k — the ones that are petabytes at 100 TB) are never
+# shuffled for the dims; the only exchange left is the l_orderkey ⋈
+# o_orderkey fact-fact join and the final small aggregation. The
+# local-supplier constraint (c_nationkey = s_nationkey) is the Q5
+# signature predicate. Plan pinned by tests/test_plan_shapes.py.
+def q_tpch_q5_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    region = T(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = T(spark, sf, "nation")
+    supplier = T(spark, sf, "supplier")
+    customer = T(spark, sf, "customer")
+    orders = T(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    lineitem = T(spark, sf, "lineitem")
+
+    dims = (
+        customer.join(F.broadcast(supplier),
+                      customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "s_suppkey", "n_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("l_suppkey") == F.col("s_suppkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_SQL_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+"""
+
+
+QUERIES["tpch_q5_regional_revenue"] = (q_tpch_q5_regional_revenue, _SQL_TPCH_Q5)

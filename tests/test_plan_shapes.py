@@ -143,3 +143,15 @@ def test_range_join_is_binned_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q5_broadcasts_dimension_chain(spark):
+    """The six-table Q5 join must broadcast the dimension chain so the
+    fact tables never shuffle for the dims — the only exchanges left are
+    the fact-fact join and the final aggregation."""
+    from pdf_extraction_spark.operators.relational import q_tpch_q5_regional_revenue
+
+    plan = plan_of(q_tpch_q5_regional_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
