@@ -52,6 +52,7 @@ HEADLINE = (
     "range_join_windows",
     "value_percentiles",
     "ann_lsh_topk",
+    "tpch_q5_regional_revenue",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales
