@@ -41,6 +41,12 @@ def main(argv=None) -> int:
              "dedup → near-dup clustering → PII mask → splits) into "
              "<output>/curated (+ curation_stats)",
     )
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="after extraction, binpack the extracted table's bucket "
+             "partitions (checksum-verified; resumed/wave-committed runs "
+             "fragment partitions into many small files)",
+    )
     args = ap.parse_args(argv)
 
     from pdf_extraction_spark.plans.pipeline import run_extraction
@@ -59,6 +65,14 @@ def main(argv=None) -> int:
         partitions=args.partitions,
         resume=args.resume,
     )
+    if args.compact:
+        from pdf_extraction_spark.sources.maintenance import compact_table
+        from pdf_extraction_spark.sources.tables import TableIO
+
+        summary["compaction"] = compact_table(
+            TableIO(spark, args.output), "extracted", partition_by=["bucket"]
+        )
+
     if args.curate:
         from pdf_extraction_spark.plans.curation import curate_corpus
         from pdf_extraction_spark.sources.tables import TableIO
