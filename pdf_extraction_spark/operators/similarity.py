@@ -129,8 +129,17 @@ def quantized_cosine(ea, eb):
     return _QCOS_UDF(ea, eb)
 
 
+def valid_embeddings(emb: DataFrame, dim: int = DIM) -> DataFrame:
+    """Drop rows whose embedding is NULL or ragged (wrong dimension): a
+    poison row must degrade to a dropped candidate, not an Arrow-batch
+    numpy crash that kills the task (C3). A no-op on the testdata corpus
+    (no nulls), so every oracle stays bit-identical; pinned by
+    tests/test_similarity_ivf.py on a corpus WITH poison rows."""
+    return emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == dim))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
-    emb = T(spark, sf, "embeddings")
+    emb = valid_embeddings(T(spark, sf, "embeddings"))
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
     scored = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -179,7 +188,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     search layout (bucket = Σ_p (dot(v, plane_p) > 0) << p). Uses the
     integer plane family (quantized dots, exact int64), so the histogram is
     bit-identical in DuckDB — a full oracle check, not rows-only."""
-    emb = T(spark, sf, "embeddings")
+    emb = valid_embeddings(T(spark, sf, "embeddings"))
     sigs = lsh_band_signatures(emb, n_bands=1, planes_per_band=N_PLANES)
     return (
         sigs.groupBy("bucket")
@@ -219,7 +228,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     implementation; the LSH bucketing above is the >10⁹-vector scale path —
     bucket first, compare only within buckets). Quantized-dot cosine keeps
     the oracle bit-identical."""
-    emb = T(spark, sf, "embeddings")
+    emb = valid_embeddings(T(spark, sf, "embeddings"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -375,7 +384,7 @@ def neardup_bucketed_pairs(
 
 
 def q_neardup_bucketed_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return neardup_bucketed_pairs(T(spark, sf, "embeddings"))
+    return neardup_bucketed_pairs(valid_embeddings(T(spark, sf, "embeddings")))
 
 
 _NP_TOTAL = NB_BANDS * PLANES_PER_BAND
@@ -523,7 +532,7 @@ def ivf_search(assigned: DataFrame, centroids, query_vec, k: int = TOP_K,
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-ANN top-k for the standard query vector (rows-only check; the
     recall-vs-exact assertion lives in tests/test_similarity_ivf.py)."""
-    emb = T(spark, sf, "embeddings")
+    emb = valid_embeddings(T(spark, sf, "embeddings"))
     centroids = ivf_train(emb)
     assigned = ivf_assign(emb.filter(F.col("vec_id") != QUERY_VEC_ID), centroids)
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0]["embedding"]
@@ -558,7 +567,7 @@ def _query_buckets(query_vec, n_bands: int = NB_BANDS, planes_per_band: int = PL
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k by exact quantized cosine WITHIN the query's LSH cells."""
-    emb = T(spark, sf, "embeddings")
+    emb = valid_embeddings(T(spark, sf, "embeddings"))
     qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()  # 1 row
     query_vec = list(qrow[0]["embedding"])
     probe = spark.createDataFrame(_query_buckets(query_vec), "band int, bucket long")

@@ -107,3 +107,38 @@ def test_lsh_topk_recall_vs_exact(spark):
     assert len(pruned) == TOP_K
     recall = len(set(exact) & set(pruned)) / TOP_K
     assert recall >= 0.7, f"LSH top-k recall {recall}: exact={exact} pruned={pruned}"
+
+
+def test_similarity_tolerates_poison_embeddings(spark, tmp_path):
+    """NULL and ragged embedding rows must degrade to dropped candidates,
+    never an Arrow-batch numpy crash (C3). Built on a copy of the real
+    corpus plus poison rows; results must equal the clean corpus's."""
+    import os
+
+    from pdf_extraction_spark.operators.similarity import (
+        q_ann_cosine_topk,
+        q_neardup_bucketed_pairs,
+        valid_embeddings,
+    )
+
+    sfdir = str(tmp_path / "sf")
+    os.makedirs(sfdir)
+    base = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    poison = spark.createDataFrame(
+        [(900001, None), (900002, [1.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    ).select("vec_id", F.col("embedding").cast(dict(base.dtypes)["embedding"]).alias("embedding"))
+    base.unionByName(poison, allowMissingColumns=True).write.parquet(
+        os.path.join(sfdir, "embeddings.parquet")
+    )
+
+    clean = {r["vec_id"]: r["cosine"] for r in q_ann_cosine_topk(spark, SF).collect()}
+    dirty = {r["vec_id"]: r["cosine"] for r in q_ann_cosine_topk(spark, sfdir).collect()}
+    assert dirty == clean
+
+    n_clean = q_neardup_bucketed_pairs(spark, SF).count()
+    n_dirty = q_neardup_bucketed_pairs(spark, sfdir).count()
+    assert n_dirty == n_clean
+
+    emb = spark.read.parquet(os.path.join(sfdir, "embeddings.parquet"))
+    assert emb.count() == valid_embeddings(emb).count() + 2
