@@ -5,6 +5,7 @@ non-SQL-expressible op (driver then records a rows-only check)."""
 
 from pdf_extraction_spark.operators import (  # noqa: F401
     asof,
+    corpus,
     dedup,
     embed,
     eventstats,
@@ -22,7 +23,7 @@ from pdf_extraction_spark.operators import (  # noqa: F401
 def all_queries():
     out = {}
     for mod in (relational, dedup, similarity, textstats, multimodal, asof, nested, skew,
-                sampling, scrub, eventstats, embed):
+                sampling, scrub, eventstats, embed, corpus):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair

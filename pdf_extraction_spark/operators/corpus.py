@@ -1,0 +1,260 @@
+"""Corpus-curation analytics — four fully-oracled operators that round out
+the training-data surface, all pure column expressions (JVM-side, zero
+Python in the hot path, every shuffle keyed and partial-aggregated):
+
+- scd2_user_segments : gaps-and-islands SCD Type-2 history build — per-user
+                       daily activity segment collapsed into validity
+                       intervals (valid_from/valid_to). The classic
+                       warehouse change-tracking pattern (the reference
+                       keeps only latest-state rows, e.g. processing_jobs
+                       status in app/db/processing_jobs.py; this derives
+                       the full history a warehouse would retain).
+- pack_sequences     : token-budget sequence packing — stream documents
+                       into ~BUDGET-token packs via a running-sum window
+                       (the pretraining "sequence packing" step; greedy
+                       stream-packing semantics: a doc joins the pack its
+                       START falls into, so a pack may overflow by at most
+                       one document).
+- tfidf_top_terms    : per-language top-5 terms by summed tf-idf. The idf
+                       weight is an INTEGER surrogate (N*1e6 // df,
+                       integer division) so Spark and DuckDB agree
+                       bit-exactly — float ln() is libm-dependent and
+                       would make the oracle hash fragile.
+- chunk_dedup_stats  : chunk-grain exact dedup (the word-window form of
+                       exact-substring dedup, Lee et al. 2022 "Deduplicating
+                       Training Data Makes Language Models Better"):
+                       non-overlapping word 10-grams, global keep-first by
+                       chunk content, per-source duplicate mass.
+
+Scale notes (100 TB):
+- scd2: two shuffles on user_id (daily rollup reuses the same hash
+  partitioning for the island window — Catalyst reuses the exchange).
+- pack_sequences: ONE shuffle on source; the running sum is evaluated
+  inside the sorted partition. At petabyte scale the pack key would be
+  (source, day)-grained to bound partition width; the window itself is
+  O(rows-per-group) with no self-join.
+- tfidf: word-grain shuffle (vocab-bounded, partial-aggregated map-side),
+  then a broadcast-sized df table joined back; no row explosion survives
+  the first groupBy.
+- chunk_dedup: one shuffle on the chunk hash — identical shape to
+  dedup_exact but at sub-document grain; dup decision is a keep-first
+  window, not a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.sources.tables import load_testdata as T
+
+PACK_BUDGET = 512
+CHUNK_WORDS = 10
+
+
+# --------------------------------------------------------------------------
+def q_scd2_user_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD Type-2 interval build via gaps-and-islands: per user-day event
+    counts → integer-threshold segment (hot>=5 / warm>=2 / cold) → runs of
+    CONSECUTIVE same-segment days collapse into one validity interval.
+    Island key = day - row_number() within (user, segment): constant across
+    a consecutive run, breaks on any gap or segment flip. Integer counts
+    only — no float aggregate can diverge between engines."""
+    ev = T(spark, sf, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_ev"))
+        .withColumn(
+            "segment",
+            F.when(F.col("n_ev") >= 5, "hot").when(F.col("n_ev") >= 2, "warm").otherwise("cold"),
+        )
+    )
+    rn = F.row_number().over(W.partitionBy("user_id", "segment").orderBy("day"))
+    islands = daily.withColumn("anchor", F.date_sub(F.col("day"), rn))
+    return (
+        islands.groupBy("user_id", "segment", "anchor")
+        .agg(
+            F.min("day").alias("valid_from"),
+            F.max("day").alias("valid_to"),
+            F.count("*").alias("n_days"),
+            F.sum("n_ev").alias("n_events"),
+        )
+        .select("user_id", "segment", "valid_from", "valid_to", "n_days", "n_events")
+        .orderBy("user_id", "valid_from", "segment")
+    )
+
+
+_SQL_SCD2 = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_ev
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), s AS (
+  SELECT user_id, day, n_ev,
+         CASE WHEN n_ev >= 5 THEN 'hot' WHEN n_ev >= 2 THEN 'warm' ELSE 'cold' END AS segment
+  FROM d
+), g AS (
+  SELECT user_id, day, segment, n_ev,
+         day - CAST(row_number() OVER (PARTITION BY user_id, segment ORDER BY day) AS INTEGER) AS anchor
+  FROM s
+)
+SELECT user_id, segment, min(day) AS valid_from, max(day) AS valid_to,
+       count(*) AS n_days, CAST(sum(n_ev) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, segment, anchor
+ORDER BY user_id, valid_from, segment
+"""
+
+
+# --------------------------------------------------------------------------
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing: within each source stream (ordered by
+    doc_id — the growth-stable order), a running token sum assigns each doc
+    to pack floor(preceding_tokens / BUDGET). Greedy stream packing: packs
+    can overflow by at most one doc (reported), never underfill by more
+    than the next doc's length. All-integer arithmetic."""
+    docs = T(spark, sf, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    p = c.withColumn(
+        "pack_id",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(float(PACK_BUDGET))).cast("bigint"),
+    )
+    return (
+        p.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.greatest(F.sum("n_tok") - PACK_BUDGET, F.lit(0)).cast("bigint").alias("overflow"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+_SQL_PACK = f"""
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+), c AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+), p AS (
+  SELECT source, CAST(floor((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS pack_id, n_tok
+  FROM c
+)
+SELECT source, pack_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+       CAST(greatest(sum(n_tok) - {PACK_BUDGET}, 0) AS BIGINT) AS overflow
+FROM p GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
+# --------------------------------------------------------------------------
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language top-5 terms by summed tf-idf. idf is the integer
+    surrogate (n_docs * 1_000_000) div df — exact in both engines, ordinal
+    within a corpus identical to ln(N/df) ranking up to ties (both are
+    strictly decreasing in df); ties broken by word. The df table is
+    vocab-sized → broadcast back onto the tf aggregate."""
+    docs = T(spark, sf, "documents")
+    n_docs = docs.count()  # scalar; one job over parquet metadata, not a collect loop
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.expr(f"CAST({n_docs} AS BIGINT) * 1000000 div df")
+    sc = (
+        tf.join(F.broadcast(df_tbl), "word")
+        .groupBy("lang", "word")
+        .agg(F.sum(F.col("tf") * idf).alias("score"))
+    )
+    rk = F.row_number().over(W.partitionBy("lang").orderBy(F.desc("score"), F.asc("word")))
+    return (
+        sc.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select("lang", "word", "score", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+_SQL_TFIDF = """
+WITH w AS (
+  SELECT doc_id, lang, u.word FROM documents,
+  LATERAL unnest(string_split(lower(text), ' ')) AS u(word)
+  WHERE u.word <> ''
+), tf AS (
+  SELECT doc_id, lang, word, count(*) AS tf FROM w GROUP BY doc_id, lang, word
+), df AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), n AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (
+  SELECT tf.lang, tf.word, sum(tf.tf * ((n.n_docs * 1000000) // df.df)) AS score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+  GROUP BY tf.lang, tf.word
+), rk AS (
+  SELECT lang, word, CAST(score AS BIGINT) AS score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, word) AS rk
+  FROM sc
+)
+SELECT lang, word, score, rk FROM rk WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+
+# --------------------------------------------------------------------------
+def q_chunk_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-grain exact dedup: split each doc into non-overlapping word
+    10-grams, keep-first globally by chunk CONTENT (window over the chunk,
+    ordered by (doc_id, chunk_idx) — the same stable order the corpus is
+    read in), report per-source duplicate chunk mass. The word-window form
+    of exact-substring dedup (Lee et al. 2022); at corpus scale the window
+    partitions by a 64-bit chunk hash instead of the raw string (same
+    shuffle shape, 8-byte keys)."""
+    docs = T(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(CHUNK_WORDS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
+    )
+    c = docs.select("doc_id", "source", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    rn = F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "chunk_idx"))
+    r = c.withColumn("is_dup", (rn > 1).cast("int"))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("is_dup").alias("n_dup_chunks"),
+            F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_CHUNK_DEDUP = f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+), c AS (
+  SELECT doc_id, source, s.item AS chunk_idx,
+         array_to_string(words[s.item*{CHUNK_WORDS}+1 : s.item*{CHUNK_WORDS}+{CHUNK_WORDS}], ' ') AS chunk
+  FROM w, LATERAL unnest(generate_series(0, CAST(ceil(len(words)/{CHUNK_WORDS}.0) AS BIGINT) - 1)) AS s(item)
+), r AS (
+  SELECT source, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT source, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {
+    "scd2_user_segments": (q_scd2_user_segments, _SQL_SCD2),
+    "pack_sequences": (q_pack_sequences, _SQL_PACK),
+    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
+    "chunk_dedup_stats": (q_chunk_dedup_stats, _SQL_CHUNK_DEDUP),
+}

@@ -1,0 +1,82 @@
+"""Structural invariants for the corpus-curation operators (correctness vs
+DuckDB is covered by the oracle sweep; these pin the semantic contracts)."""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+
+
+def test_scd2_intervals_disjoint_and_ordered(spark):
+    from pdf_extraction_spark.operators.corpus import q_scd2_user_segments
+
+    rows = q_scd2_user_segments(spark, SF_DIR).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        assert r.valid_from <= r.valid_to
+        assert (r.valid_to - r.valid_from).days == r.n_days - 1  # consecutive-day runs
+        by_user.setdefault(r.user_id, []).append((r.valid_from, r.valid_to, r.segment))
+    for user, ivs in by_user.items():
+        ivs.sort()
+        for (f1, t1, s1), (f2, t2, s2) in zip(ivs, ivs[1:]):
+            assert t1 < f2, f"overlapping intervals for user {user}"
+            # adjacent intervals must differ in segment OR be separated by a gap
+            if (f2 - t1).days == 1:
+                assert s1 != s2, f"adjacent same-segment islands not merged for user {user}"
+
+
+def test_pack_sequences_budget_contract(spark):
+    from pdf_extraction_spark.operators.corpus import PACK_BUDGET, q_pack_sequences
+
+    rows = q_pack_sequences(spark, SF_DIR).collect()
+    assert rows
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.sources.tables import load_testdata as T
+
+    max_doc = (
+        T(spark, SF_DIR, "documents")
+        .select(F.max(F.size(F.split("text", " "))).alias("m"))
+        .collect()[0]["m"]
+    )
+    for r in rows:
+        # greedy stream packing: overflow bounded by one document
+        assert r.overflow <= max_doc
+        assert r.overflow == max(r.pack_tokens - PACK_BUDGET, 0)
+    # pack ids dense from 0 within each source
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.pack_id)
+    for src, ids in by_src.items():
+        assert sorted(ids) == list(range(len(ids))), f"pack ids not dense for {src}"
+
+
+def test_tfidf_rare_words_outrank_common(spark):
+    from pdf_extraction_spark.operators.corpus import q_tfidf_top_terms
+
+    rows = q_tfidf_top_terms(spark, SF_DIR).collect()
+    assert rows
+    langs = {r.lang for r in rows}
+    for lang in langs:
+        sub = sorted((r for r in rows if r.lang == lang), key=lambda r: r.rk)
+        assert [r.rk for r in sub] == list(range(1, len(sub) + 1))
+        scores = [r.score for r in sub]
+        assert scores == sorted(scores, reverse=True)
+    # 'the'/'a' are in ~every doc → idf floor → never a top term
+    assert not {r.word for r in rows} & {"the", "a"}
+
+
+def test_chunk_dedup_fraction_bounds(spark):
+    from pdf_extraction_spark.operators.corpus import q_chunk_dedup_stats
+
+    rows = q_chunk_dedup_stats(spark, SF_DIR).collect()
+    assert rows
+    total_dups = sum(r.n_dup_chunks for r in rows)
+    assert total_dups > 0, "synthetic corpus should contain repeated 10-grams"
+    for r in rows:
+        assert 0 <= r.n_dup_chunks < r.n_chunks
+        assert abs(r.dup_frac - round(r.n_dup_chunks / r.n_chunks, 6)) < 1e-9
