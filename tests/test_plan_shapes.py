@@ -145,6 +145,31 @@ def test_range_join_is_binned_equi_join(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_corpus_ops_stay_jvm_side(spark):
+    """The corpus-curation operators are pure column expressions: no Python
+    eval anywhere, no cartesian products, and the vocab-sized df table in
+    tf-idf must broadcast (a sort-merge there would shuffle every exploded
+    corpus token a second time)."""
+    from pdf_extraction_spark.operators.corpus import (
+        q_chunk_dedup_stats,
+        q_pack_sequences,
+        q_scd2_user_segments,
+        q_tfidf_top_terms,
+    )
+
+    for q in (q_scd2_user_segments, q_pack_sequences, q_tfidf_top_terms, q_chunk_dedup_stats):
+        plan = plan_of(q(spark, SF))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    assert "BroadcastHashJoin" in plan_of(q_tfidf_top_terms(spark, SF))
+    # packing: one shuffle on source feeds BOTH the running-sum window and
+    # the (source, pack_id) aggregate — Catalyst must reuse the exchange
+    assert plan_of(q_pack_sequences(spark, SF)).count("Exchange hashpartitioning") <= 1
+
+
 def test_tpch_q5_broadcasts_dimension_chain(spark):
     """The six-table Q5 join must broadcast the dimension chain so the
     fact tables never shuffle for the dims — the only exchanges left are
