@@ -292,3 +292,68 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert len(got) == len(want) == static_events.count()
     assert got["user_avg"].isna().any()          # unmatched keys kept as null
     assert got.equals(want)
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Late-data contract of the windowed aggregation: a row arriving
+    BEHIND the checkpointed watermark is dropped — the already-emitted
+    window is neither re-emitted nor updated (append mode), and the late
+    row contributes to no window. Two availableNow runs share one
+    checkpoint, so run 2 starts from run 1's persisted watermark — the
+    restart-with-late-arrivals shape a real landing directory produces."""
+    import pandas as pd
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("lsrc", "lout", "lck"))
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage_{name}")
+        )
+        for f in os.listdir(str(tmp_path / f"stage_{name}")):
+            if f.endswith(".parquet"):
+                shutil.copy(str(tmp_path / f"stage_{name}" / f), os.path.join(src, f"{name}.parquet"))
+
+    def run_once():
+        q = (
+            stream_events_windowed(spark, src, window="5 minutes", watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: window [10:00,10:05) gets 3 on-time rows; the 11:00 row pushes
+    # the watermark to 10:50 > 10:05, closing and emitting that window
+    write_batch("a", [
+        (1, "2024-01-01 10:00:30", 1, "x", 1.0, None),
+        (2, "2024-01-01 10:01:30", 1, "x", 1.0, None),
+        (3, "2024-01-01 10:03:30", 1, "x", 1.0, None),
+        (4, "2024-01-01 11:00:00", 1, "x", 1.0, None),
+    ])
+    run_once()
+    first = spark.read.parquet(out).toPandas()
+    assert len(first) == 1 and first.iloc[0]["n"] == 3  # [10:00,10:05) closed
+
+    # run 2: one LATE row inside the closed window (behind the 10:50
+    # watermark restored from the checkpoint) + fresh rows that close
+    # [11:30,11:35)
+    write_batch("b", [
+        (5, "2024-01-01 10:01:45", 1, "x", 99.0, None),   # late -> dropped
+        (6, "2024-01-01 11:30:10", 1, "x", 1.0, None),
+        (7, "2024-01-01 12:30:00", 1, "x", 1.0, None),    # watermark -> 12:20
+    ])
+    run_once()
+    final = spark.read.parquet(out).toPandas().sort_values("win_start").reset_index(drop=True)
+    # [10:00,10:05) appears exactly once, still n=3 (late row excluded);
+    # run 2 also closes [11:00,11:05) (batch A's watermark carrier) and
+    # [11:30,11:35), each with only its on-time row
+    assert [str(t) for t in final["win_start"]] == [
+        "2024-01-01 10:00:00", "2024-01-01 11:00:00", "2024-01-01 11:30:00",
+    ]
+    assert list(final["n"]) == [3, 1, 1]
+    assert not (final["sum_value"] >= 99.0).any()
