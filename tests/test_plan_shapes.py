@@ -170,6 +170,44 @@ def test_corpus_ops_stay_jvm_side(spark):
     assert plan_of(q_pack_sequences(spark, SF)).count("Exchange hashpartitioning") <= 1
 
 
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """Runtime-evidence twin of the explicit salted join (operators/skew.py):
+    when a shuffle join skews and broadcast is off the table (both sides
+    big at 100 TB), the engine relies on AQE's OptimizeSkewedJoin to split
+    the hot partition. Pin that contract: a 90%-hot-key join under
+    production-shaped thresholds must execute as SortMergeJoin(skew=true)
+    in the FINAL adaptive plan — if an upgrade or conf change silently
+    disables it, hot keys go back to single-task stragglers."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",     # force the SMJ path
+        # scaled-down thresholds: same ratios a real cluster uses (factor
+        # over median, advisory target < hot partition size)
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        fact = (
+            spark.range(0, 120_000)
+            .withColumn("k", F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 1000))
+            .withColumn("pad", F.repeat(F.lit("x"), 200))
+        )
+        dim = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("k") * 2).alias("attr"))
+        j = fact.join(dim, "k")
+        assert len(j.toPandas()) == 120_000  # full execution finalizes AQE
+        plan = plan_of(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the hot partition"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_tpch_q5_broadcasts_dimension_chain(spark):
     """The six-table Q5 join must broadcast the dimension chain so the
     fact tables never shuffle for the dims — the only exchanges left are
