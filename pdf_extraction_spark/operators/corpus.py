@@ -252,9 +252,109 @@ FROM r GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+TARGET_MIX = {"en": 0.40, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+def q_source_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Data mixing: resample the corpus toward a TARGET language mix with
+    the largest feasible output — per-language keep rate is the target/
+    actual ratio normalized so the most-undersampled language keeps 100%,
+    applied via the deterministic md5-fraction filter (same rows every run,
+    every engine). Rates are derived IN-QUERY from corpus counts: the
+    lang-count table is tiny → broadcast back; the corpus side stays a
+    map-only filter. All float steps (ratio, max-normalize, compare) are
+    single exactly-rounded IEEE ops — bit-identical across engines."""
+    from pdf_extraction_spark.operators.sampling import hash_fraction
+
+    docs = T(spark, sf, "documents")
+    target = F.create_map(*[F.lit(x) for kv in sorted(TARGET_MIX.items()) for x in kv])
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    ratio = (target[F.col("lang")] / F.col("n_lang")).alias("ratio")
+    rates = counts.select("lang", "n_lang", ratio)
+    # scalar max over the LANG-COUNT table (a handful of rows), not the
+    # corpus: a global window here is a single-partition pass over ~|langs|
+    # rows, avoiding the 1-row cross join a scalar subquery would plan
+    rates = rates.withColumn("mr", F.max("ratio").over(W.partitionBy())).select(
+        "lang", "n_lang", (F.col("ratio") / F.col("mr")).alias("rate")
+    )
+    kept = docs.join(F.broadcast(rates), "lang").filter(
+        hash_fraction(F.col("doc_id"), salt="mix") < F.col("rate")
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("first_doc"))
+        .join(F.broadcast(rates.select("lang", "n_lang")), "lang")
+        .select("lang", "n_lang", "n_kept", F.round(F.col("n_kept") / F.col("n_lang"), 6).alias("kept_frac"))
+        .orderBy("lang")
+    )
+
+
+_TARGET_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(TARGET_MIX.items()))
+
+_SQL_SOURCE_MIX = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n_lang,
+         (CASE lang {_TARGET_CASE} ELSE 0.0 END) / count(*) AS ratio
+  FROM documents GROUP BY lang
+), r AS (
+  SELECT lang, n_lang, ratio / (SELECT max(ratio) FROM c) AS rate FROM c
+), kept AS (
+  SELECT d.lang, d.doc_id
+  FROM documents d JOIN r USING (lang)
+  WHERE CAST(('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 7)) AS INTEGER)
+        / 268435456.0 < r.rate
+)
+SELECT lang, r.n_lang AS n_lang, count(*) AS n_kept,
+       round(count(*) / CAST(r.n_lang AS DOUBLE), 6) AS kept_frac
+FROM kept JOIN r USING (lang)
+GROUP BY lang, r.n_lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+def q_adaptive_length_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language adaptive length clipping (the CCNet-style curation step:
+    fixed global length cuts mis-clip languages with different length
+    distributions). Exact p05/p95 of n_chars per language (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, bit-identical linear
+    interpolation), broadcast back, keep rows inside [p05, p95]. Report
+    per-language survivor stats + the bounds applied."""
+    docs = T(spark, sf, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    kept = docs.join(F.broadcast(bounds), "lang").filter(
+        (F.col("n_chars") >= F.col("p05")) & (F.col("n_chars") <= F.col("p95"))
+    )
+    return (
+        kept.groupBy("lang", "p05", "p95")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+        .select("lang", F.round("p05", 6).alias("p05"), F.round("p95", 6).alias("p95"),
+                "n_kept", "kept_chars")
+        .orderBy("lang")
+    )
+
+
+_SQL_ADAPTIVE_LEN = """
+WITH b AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS p05, quantile_cont(n_chars, 0.95) AS p95
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, round(b.p05, 6) AS p05, round(b.p95, 6) AS p95,
+       count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+FROM documents d JOIN b ON d.lang = b.lang
+WHERE d.n_chars >= b.p05 AND d.n_chars <= b.p95
+GROUP BY d.lang, b.p05, b.p95 ORDER BY d.lang
+"""
+
+
 QUERIES = {
     "scd2_user_segments": (q_scd2_user_segments, _SQL_SCD2),
     "pack_sequences": (q_pack_sequences, _SQL_PACK),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
     "chunk_dedup_stats": (q_chunk_dedup_stats, _SQL_CHUNK_DEDUP),
+    "source_mix_sample": (q_source_mix_sample, _SQL_SOURCE_MIX),
+    "adaptive_length_filter": (q_adaptive_length_filter, _SQL_ADAPTIVE_LEN),
 }

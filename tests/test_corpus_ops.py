@@ -80,3 +80,38 @@ def test_chunk_dedup_fraction_bounds(spark):
     for r in rows:
         assert 0 <= r.n_dup_chunks < r.n_chunks
         assert abs(r.dup_frac - round(r.n_dup_chunks / r.n_chunks, 6)) < 1e-9
+
+
+def test_source_mix_moves_toward_target(spark):
+    from pdf_extraction_spark.operators.corpus import TARGET_MIX, q_source_mix_sample
+
+    rows = q_source_mix_sample(spark, SF_DIR).collect()
+    assert rows
+    total_orig = sum(r.n_lang for r in rows)
+    total_kept = sum(r.n_kept for r in rows)
+    # the most-undersampled language keeps everything (rate normalized to 1)
+    assert max(r.kept_frac for r in rows) == 1.0
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_lang
+    l1_before = sum(abs(r.n_lang / total_orig - TARGET_MIX[r.lang]) for r in rows)
+    l1_after = sum(abs(r.n_kept / total_kept - TARGET_MIX[r.lang]) for r in rows)
+    assert l1_after < l1_before, (l1_before, l1_after)
+
+
+def test_adaptive_length_filter_keeps_central_mass(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.corpus import q_adaptive_length_filter
+    from pdf_extraction_spark.sources.tables import load_testdata as T
+
+    rows = {r.lang: r for r in q_adaptive_length_filter(spark, SF_DIR).collect()}
+    assert rows
+    counts = {
+        r["lang"]: r["n"]
+        for r in T(spark, SF_DIR, "documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, r in rows.items():
+        assert r.p05 < r.p95
+        # a [p05, p95] cut keeps ~90% of each language (inclusive bounds
+        # can keep slightly more on ties, never less than ~85%)
+        assert 0.85 * counts[lang] <= r.n_kept <= counts[lang]

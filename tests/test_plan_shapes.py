@@ -151,13 +151,16 @@ def test_corpus_ops_stay_jvm_side(spark):
     tf-idf must broadcast (a sort-merge there would shuffle every exploded
     corpus token a second time)."""
     from pdf_extraction_spark.operators.corpus import (
+        q_adaptive_length_filter,
         q_chunk_dedup_stats,
         q_pack_sequences,
         q_scd2_user_segments,
+        q_source_mix_sample,
         q_tfidf_top_terms,
     )
 
-    for q in (q_scd2_user_segments, q_pack_sequences, q_tfidf_top_terms, q_chunk_dedup_stats):
+    for q in (q_scd2_user_segments, q_pack_sequences, q_tfidf_top_terms,
+              q_chunk_dedup_stats, q_source_mix_sample, q_adaptive_length_filter):
         plan = plan_of(q(spark, SF))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "MapInPandas" not in plan
