@@ -53,6 +53,10 @@ HEADLINE = (
     "value_percentiles",
     "ann_lsh_topk",
     "tpch_q5_regional_revenue",
+    "chunk_dedup_stats",
+    "tfidf_top_terms",
+    "scd2_user_segments",
+    "source_mix_sample",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales
