@@ -227,7 +227,59 @@ GROUP BY w.win_id ORDER BY w.win_id
 """
 
 
+# --------------------------------------------------------------------------
+def q_sketch_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB estimators, oracle-checked: approx_count_distinct (HLL++)
+    and percentile_approx are what actually run at petabyte scale (exact
+    distinct/percentile need a full shuffle-and-sort per group), but their
+    outputs are engine-specific, so they can't be hash-compared directly.
+    Instead the TOLERANCE CHECK is computed in-query: the comparable output
+    columns are the exact values plus booleans asserting the sketch landed
+    inside its documented error envelope (HLL++ rsd=5% → |err| ≤ 15% ≈ 3σ;
+    percentile_approx at accuracy 10k → ≤ 5% of the value range here). The
+    oracle expects the exact values and TRUE — if either sketch drifts out
+    of envelope, the driver's hash gate fails. Sketches are one
+    partial-aggregated pass, no per-group sort, mergeable across
+    executors — the exact twins (`value_percentiles`, distinct counts in
+    other queries) stay as the small-scale cross-checks."""
+    ev = T(spark, sf, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("hll_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("apx_p50"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    hll_ok = (
+        F.abs(F.col("hll_users") - F.col("exact_users"))
+        <= 0.15 * F.col("exact_users")
+    )
+    p50_ok = (
+        F.abs(F.col("apx_p50") - F.col("exact_p50"))
+        <= 0.05 * (F.col("vmax") - F.col("vmin"))
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        hll_ok.alias("hll_within_tol"),
+        F.round("exact_p50", 6).alias("p50"),
+        p50_ok.alias("p50_within_tol"),
+    ).orderBy("event_type")
+
+
+_SQL_SKETCH = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       true AS hll_within_tol,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       true AS p50_within_tol
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "sketch_accuracy": (q_sketch_accuracy, _SQL_SKETCH),
     "funnel_view_click_purchase": (q_funnel, _SQL_FUNNEL),
     "topk_per_group": (q_topk_per_group, _SQL_TOPK),
     "value_histogram": (q_value_histogram, _SQL_HIST),

@@ -179,3 +179,43 @@ def test_compaction_mismatch_preserves_original(spark, tmp_path, monkeypatch):
     # original survives, staged dir is gone (TableIO.rewrite's staging name)
     assert io.read("t").count() == 10
     assert not os.path.isdir(io.path("t__tmp"))
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located join layout: two tables bucketed by the same key into the
+    same bucket count must sort-merge join with ZERO Exchange (the
+    write-once/reuse-every-query shuffle elimination bucketing exists
+    for); a bucketed x unbucketed join shuffles ONLY the unbucketed side."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.sources.maintenance import write_bucketed
+    from tests.test_plan_shapes import count_exchanges, plan_of
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    facts = events.select("event_id", "user_id", "event_type", "value")
+    stats = events.groupBy("user_id").agg(F.round(F.avg("value"), 6).alias("user_avg"))
+
+    db, loc = "bjoin_db", str(tmp_path / "warehouse")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(spark, facts, db, "facts_b", "user_id", 8, location=loc)
+        write_bucketed(spark, stats, db, "stats_b", "user_id", 8, location=loc)
+
+        fb, sb = spark.table(f"{db}.facts_b"), spark.table(f"{db}.stats_b")
+        j = fb.join(sb, "user_id")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed-bucketed join must not shuffle"
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+        # correctness: identical to the plain-DataFrame join
+        want = facts.join(stats, "user_id")
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, want.collect()))
+
+        # one-sided: unbucketed probe side shuffles, bucketed side does not
+        half = plan_of(fb.join(events.select("user_id", "props"), "user_id"))
+        assert count_exchanges(half) == 1, half
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
