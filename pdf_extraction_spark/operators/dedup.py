@@ -200,6 +200,88 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(T(spark, sf, "documents"))
 
 
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, seed, mh) long form of the wide signature columns."""
+    stack_expr = "stack({}, {}) as (seed, mh)".format(
+        N_HASHES, ", ".join(f"'{s}', mh{s}" for s in range(N_HASHES))
+    )
+    return sigs.selectExpr("doc_id", stack_expr)
+
+
+def build_minhash_index(docs: DataFrame):
+    """The persistent LSH index state an incremental pipeline maintains
+    between runs: banded signature rows + gram sets. At scale both live as
+    tables bucketed by (seed, mh) / doc_id, appended per batch — signatures
+    are computed ONCE per document, ever."""
+    sigs = minhash_signatures(docs)
+    return _band_rows(sigs), sigs.select("doc_id", "grams")
+
+
+def incremental_minhash_pairs(
+    index_bands: DataFrame,
+    index_grams: DataFrame,
+    new_docs: DataFrame,
+    max_band_width: int = MAX_BAND_WIDTH,
+) -> DataFrame:
+    """Incremental LSH index maintenance: near-dup pairs INVOLVING the new
+    batch, without recomputing any old-corpus signature. New bands join the
+    (old ∪ new) band set keyed on (seed, mh); the hot-bucket cap is
+    evaluated over the UNION widths, so the result is EXACTLY the batch
+    `minhash_lsh_pairs(old ∪ new)` restricted to pairs touching a new doc
+    (equality asserted in tests/test_dedup_cap.py). The one thing the delta
+    can't do is retract old-old pairs whose bucket a new batch pushes over
+    the cap — the standard append-only-index tradeoff, documented here.
+    Per batch this shuffles O(|new| + matched buckets), not O(|corpus|)."""
+    new_sigs = track(minhash_signatures(new_docs).persist())
+    new_bands = _band_rows(new_sigs)
+    all_bands = index_bands.unionByName(new_bands)
+    hot = (
+        all_bands.groupBy("seed", "mh")
+        .agg(F.count("*").alias("_w"))
+        .filter(F.col("_w") > max_band_width)
+        .select("seed", "mh")
+    )
+    capped_all = track(all_bands.join(F.broadcast(hot), ["seed", "mh"], "left_anti").persist())
+    capped_new = new_bands.join(F.broadcast(hot), ["seed", "mh"], "left_anti")
+    n, o = capped_new.alias("n"), capped_all.alias("o")
+    cand = (
+        n.join(o, (F.col("n.seed") == F.col("o.seed")) & (F.col("n.mh") == F.col("o.mh"))
+               & (F.col("n.doc_id") != F.col("o.doc_id")))
+        .select(
+            F.least("n.doc_id", "o.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "o.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    grams_all = index_grams.unionByName(new_sigs.select("doc_id", "grams"))
+    ga = grams_all.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = grams_all.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    return (
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+                / F.size(F.array_union("grams_a", "grams_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver query: docs with doc_id % 10 == 0 are 'the new batch'; the
+    rest are the already-indexed corpus. Oracle = the batch LSH SQL over
+    the full table, restricted to pairs touching the new batch."""
+    docs = T(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    bands, grams = build_minhash_index(old)
+    return incremental_minhash_pairs(bands, grams, new)
+
+
 _SQL_MINHASH = f"""
 WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
 sh AS (SELECT doc_id,
@@ -225,6 +307,16 @@ WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
       / len(list_distinct(sa.grams || sb.grams)) >= {JACCARD_MIN}
 ORDER BY doc_a, doc_b
 """
+
+
+# Oracle: the batch SQL restricted to pairs touching the "new batch"
+# (doc_id % 10 == 0) — the exact delta contract of incremental maintenance.
+_SQL_INCREMENTAL = _SQL_MINHASH.replace(
+    "WHERE CAST(",
+    "WHERE (c.doc_a % 10 = 0 OR c.doc_b % 10 = 0)\n  AND CAST(",
+)
+
+
 
 
 # --------------------------------------------------------------------------
@@ -306,6 +398,7 @@ FROM sig GROUP BY prefix ORDER BY prefix
 QUERIES = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, _SQL_MINHASH),
+    "dedup_incremental_lsh": (q_incremental_lsh, _SQL_INCREMENTAL),
     "dedup_simhash_buckets": (q_simhash_buckets, _SQL_SIMHASH),
 }
 

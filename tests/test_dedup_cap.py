@@ -149,3 +149,34 @@ def test_grams_udf_matches_hof_sql_twin(spark):
         ~((F.col("hof") == F.col("np")) | (F.col("hof").isNull() & F.col("np").isNull()))
     )
     assert bad.count() == 0, bad.collect()[:5]
+
+
+def test_incremental_lsh_equals_batch_restriction(spark):
+    """Delta contract of the incremental LSH index: pairs from
+    incremental_minhash_pairs(old_index, new_batch) == batch
+    minhash_lsh_pairs(old ∪ new) restricted to pairs touching a new doc —
+    exactly, including hot-bucket cap behavior (cap over UNION widths)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+
+    bands, grams = build_minhash_index(old)
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in incremental_minhash_pairs(bands, grams, new).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs).collect()
+        if r.doc_a % 10 == 0 or r.doc_b % 10 == 0
+    }
+    assert got, "new batch should produce near-dup pairs at sf0.001"
+    assert got == want
