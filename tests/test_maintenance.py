@@ -219,3 +219,31 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Partition-directory layout + a selective dimension join must plan a
+    dynamicpruningexpression in the fact scan's PartitionFilters: at scale
+    the broadcast side's keys prune entire partition directories at
+    RUNTIME (the join-driven analogue of static partition pruning). Guards
+    the spark.sql.optimizer.dynamicPartitionPruning contract the layout
+    relies on."""
+    from pyspark.sql import functions as F
+
+    from tests.test_plan_shapes import plan_of
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    part_dir = str(tmp_path / "ev_part")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(part_dir)
+
+    fact = spark.read.parquet(part_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("click", 2)], "event_type string, grp int"
+    ).filter(F.col("grp") == 1)
+    j = fact.join(dim, "event_type")
+
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert j.count() == want and want > 0
+
+    plan = plan_of(j)
+    assert "dynamicpruningexpression(event_type" in plan, plan
