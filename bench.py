@@ -86,6 +86,33 @@ def _force(df) -> int:
     return df.count()
 
 
+def calib_single_core(n_turns: int = 1500) -> float:
+    """Single-core pure-Python extraction rate over the SAME payload class
+    the bench uses (rich factor RICH) — a box-speed yardstick recorded
+    alongside every run. This sandbox's effective machine speed swings
+    3-7× between sessions (documented in BENCH/SCALE.md); dividing
+    turns_per_sec by this calibration gives a parallel-speedup number
+    that is comparable ACROSS those swings, which the raw throughput is
+    not. No Spark involved: one process, one core, no IO."""
+    from pdf_extraction_spark.core.extractor import extract_turn
+    from pdf_extraction_spark.fixtures import _ROLES, gen_turn_text
+
+    batch = []
+    ci = 0
+    while len(batch) < n_turns:
+        for t in range(12):
+            batch.append(gen_turn_text(f"conv_{ci:06d}", t, _ROLES[t % 3], RICH))
+            if len(batch) >= n_turns:
+                break
+        ci += 1
+    for text, tool in batch[:100]:  # warm interned regexes / caches
+        extract_turn(text, tool)
+    t0 = time.monotonic()
+    for text, tool in batch:
+        extract_turn(text, tool)
+    return round(n_turns / (time.monotonic() - t0), 1)
+
+
 def bench_extraction(spark, workdir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -150,6 +177,14 @@ def main() -> None:
         out["extraction"] = bench_extraction(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+    # box-speed yardstick: record the single-core pure-Python rate next to
+    # the parallel rate so cross-session comparisons can normalize out this
+    # sandbox's 3-7× machine-speed swings
+    calib = calib_single_core()
+    out["extraction"]["calib_1core_turns_per_sec"] = calib
+    out["extraction"]["parallel_speedup"] = round(
+        out["extraction"]["turns_per_sec"] / calib, 2
+    )
 
     if extraction_only:
         out["metric"] = "extraction_turns_per_sec"
