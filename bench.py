@@ -137,10 +137,12 @@ def bench_extraction(spark, workdir: str) -> dict:
     run_extraction(spark, warm, os.path.join(workdir, "warm"), run_id="warm",
                    n_buckets=64, n_waves=1, partitions=4 * cpus, resume=False)
 
-    # best of 2 timed trials (steady-state estimate; shields against
-    # transient sandbox IO spikes)
+    # best of N timed trials (steady-state estimate; shields against
+    # transient sandbox IO spikes). All trials are reported — a wide
+    # trial spread is itself evidence of a machine slow-phase.
+    trials = []
     elapsed, n = float("inf"), 0
-    for trial in range(2):
+    for trial in range(int(os.environ.get("BENCH_EXTRACT_TRIALS", "3"))):
         shutil.rmtree(tout, ignore_errors=True)
         t0 = time.monotonic()
         summary = run_extraction(
@@ -148,6 +150,7 @@ def bench_extraction(spark, workdir: str) -> dict:
             n_waves=1, partitions=4 * cpus, resume=False,
         )
         dt_run = time.monotonic() - t0
+        trials.append(round(dt_run, 3))
         if dt_run < elapsed:
             elapsed, n = dt_run, summary["n_turns"]
     return {
@@ -155,6 +158,7 @@ def bench_extraction(spark, workdir: str) -> dict:
         "rich": RICH,
         "n_turns": n,
         "elapsed_s": round(elapsed, 3),
+        "trial_elapsed_s": trials,
         "turns_per_sec": round(n / elapsed, 1),
     }
 
