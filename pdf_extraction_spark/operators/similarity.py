@@ -542,6 +542,60 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["ann_ivf_topk"] = (q_ann_ivf_topk, None)
 
 
+IVF_RECALL_MIN = 0.5  # the bound tests/test_similarity_ivf.py guarantees
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle-gated envelope for the IVF path (the sketch_accuracy pattern):
+    the raw IVF neighbor list depends on the iterative k-means state and
+    stays rows-only, but its RECALL against the exact top-k is a checkable
+    contract. This query computes both sides in-engine and emits the exact
+    top-k's row count and integer qdot checksum (bit-exact in DuckDB) plus
+    a boolean asserting IVF recall ≥ {IVF_RECALL_MIN}. The oracle expects
+    (k, true, checksum): if k-means drifts, probing breaks, or recall
+    degrades below the envelope, the driver's hash gate fails."""
+    emb = valid_embeddings(T(spark, sf, "embeddings"))
+    centroids = ivf_train(emb)
+    assigned = ivf_assign(emb.filter(F.col("vec_id") != QUERY_VEC_ID), centroids)
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0]["embedding"]
+    approx = ivf_search(assigned, centroids, list(qv))
+
+    qvdf = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("embedding").alias("qe"))
+    exact = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qvdf))
+        .select("vec_id", quantized_dot(F.col("embedding"), F.col("qe")).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+    flagged = exact.join(
+        approx.select("vec_id").withColumn("_hit", F.lit(1)), "vec_id", "left"
+    )
+    return flagged.agg(
+        F.count("*").alias("k"),
+        (F.sum(F.coalesce("_hit", F.lit(0))) >= F.lit(int(TOP_K * IVF_RECALL_MIN))).alias("recall_ok"),
+        F.sum("qdot").alias("exact_qdot_sum"),
+    )
+
+
+_SQL_IVF_RECALL = f"""
+WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT vec_id,
+    CAST(list_sum(list_transform(generate_series(1, {DIM}),
+        i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT)
+           * CAST(round(CAST(qe[i] AS DOUBLE) * 10000) AS BIGINT))) AS BIGINT) AS qdot
+  FROM embeddings CROSS JOIN qv WHERE vec_id <> {QUERY_VEC_ID}
+), top AS (
+  SELECT vec_id, qdot FROM scored ORDER BY qdot DESC, vec_id ASC LIMIT {TOP_K}
+)
+SELECT count(*) AS k, true AS recall_ok, CAST(sum(qdot) AS BIGINT) AS exact_qdot_sum
+FROM top
+"""
+
+QUERIES["ann_ivf_recall"] = (q_ann_ivf_recall, _SQL_IVF_RECALL)
+
+
 # --------------------------------------------------------------------------
 # Bucket-pruned LSH top-k — the LSH counterpart of ivf_search and the
 # query-side completion of the sign-LSH story: brute force is the oracle
