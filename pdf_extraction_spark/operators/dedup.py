@@ -599,3 +599,57 @@ FROM labels GROUP BY keeper ORDER BY keeper
 
 
 QUERIES["dedup_clusters"] = (q_dedup_clusters, _SQL_CLUSTERS)
+
+
+# --------------------------------------------------------------------------
+def q_cluster_best_keeper(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware representative selection: production dedup keeps the
+    BEST member of each near-dup cluster (here: longest text, ties to the
+    lowest doc_id), not the arbitrary min-id. Cluster labels come from the
+    star-contraction components; the representative is one row_number
+    window over (cluster, quality desc) — at corpus scale this is the same
+    single shuffle the clustering already pays, reusing its partitioning."""
+    from pyspark.sql import Window as W
+
+    pairs = (
+        q_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    )
+    release_caches()
+    clusters = neardup_clusters(pairs)  # (doc_id, keeper=cluster label)
+    docs = T(spark, sf, "documents").select("doc_id", "n_chars")
+    j = clusters.join(docs, "doc_id")
+    w = W.partitionBy("keeper").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    best = j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    members = j.groupBy("keeper").agg(F.count("*").alias("n_members"))
+    return (
+        best.select(
+            F.col("keeper").alias("cluster_id"),
+            F.col("doc_id").alias("best_id"),
+            F.col("n_chars").alias("best_chars"),
+        )
+        .join(members.withColumnRenamed("keeper", "cluster_id"), "cluster_id")
+        .orderBy("cluster_id")
+    )
+
+
+_CLUSTERS_FINAL_SELECT = """SELECT keeper, count(*) AS n_members,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM labels GROUP BY keeper ORDER BY keeper
+"""
+
+_SQL_CLUSTER_BEST = _SQL_CLUSTERS.replace(
+    _CLUSTERS_FINAL_SELECT,
+    """SELECT b.cluster_id, b.doc_id AS best_id, b.n_chars AS best_chars, m.n_members
+FROM (
+  SELECT l.keeper AS cluster_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY l.keeper ORDER BY d.n_chars DESC, d.doc_id) AS rk
+  FROM labels l JOIN documents d USING (doc_id)
+) b
+JOIN (SELECT keeper AS cluster_id, count(*) AS n_members FROM labels GROUP BY keeper) m
+  USING (cluster_id)
+WHERE b.rk = 1 ORDER BY cluster_id
+""",
+)
+assert _SQL_CLUSTER_BEST != _SQL_CLUSTERS, "final SELECT replacement did not match"
+
+QUERIES["dedup_cluster_best"] = (q_cluster_best_keeper, _SQL_CLUSTER_BEST)
