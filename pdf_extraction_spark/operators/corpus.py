@@ -204,6 +204,32 @@ SELECT lang, word, score, rk FROM rk WHERE rk <= 5 ORDER BY lang, rk
 
 
 # --------------------------------------------------------------------------
+def chunk_dup_fractions(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document chunk-duplicate mass: (id, n_chunks, n_dup_chunks,
+    dup_frac) from global keep-first over non-overlapping word 10-grams,
+    ordered by (id, chunk_idx). Reused by the oracled query below and by
+    the curation chain's repetition filter."""
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(CHUNK_WORDS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
+    )
+    c = docs.select(F.col(id_col).alias("_id"), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    rn = F.row_number().over(W.partitionBy("chunk").orderBy("_id", "chunk_idx"))
+    return (
+        c.withColumn("is_dup", (rn > 1).cast("int"))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("is_dup").alias("n_dup_chunks"),
+            F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_frac"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def q_chunk_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Chunk-grain exact dedup: split each doc into non-overlapping word
     10-grams, keep-first globally by chunk CONTENT (window over the chunk,

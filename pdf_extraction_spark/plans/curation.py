@@ -7,11 +7,15 @@ transcripts and a training corpus.
       → exact dedup         (md5 keep-first — C1 generalized corpus-wide)
       → near-dup dedup      (MinHash/LSH pairs → star-contraction clusters
                              → keep each cluster's canonical member)
+      → chunk de-repetition (drop docs whose word-10-gram duplicate mass
+                             vs earlier corpus content exceeds the cap —
+                             the Lee et al. 2022 exact-substring form)
       → PII redaction       (codegen regex mask, hit counts kept as columns)
       → deterministic split (hash-range train/val/test — growth-stable,
                              resumable: a row's split never depends on the
                              rest of the corpus)
       → curated table       (written split-partitioned) + per-stage stats
+                             incl. per-split token-budget pack counts
 
 Every stage is one of the independently-oracled operators; this module
 only composes them, so its correctness surface is (a) stage counts are
@@ -34,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extraction_spark.cache import release_caches
+from pdf_extraction_spark.operators.corpus import PACK_BUDGET, chunk_dup_fractions
 from pdf_extraction_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
 from pdf_extraction_spark.operators.sampling import dataset_split
 from pdf_extraction_spark.operators.scrub import EMAIL_RE, PHONE_RE
@@ -47,6 +52,7 @@ def curate_corpus(
     extracted: DataFrame,
     out_root: Optional[str] = None,
     min_quality: float = MIN_QUALITY,
+    max_chunk_dup: float = 0.8,
 ) -> dict:
     """Run the curation chain over extraction output; returns per-stage
     stats. When ``out_root`` is given the curated corpus is written there
@@ -86,11 +92,24 @@ def curate_corpus(
     release_caches()
     clusters = neardup_clusters(pairs)
     dropped = clusters.filter(F.col("doc_id") != F.col("keeper")).select("doc_id")
-    neardup = exact.join(dropped, "doc_id", "left_anti")
+    neardup = exact.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_neardup = neardup.count()
 
+    # 3b. chunk-repetition filter (Lee et al. 2022 exact-substring form):
+    # a doc that survived document-grain dedup can still be MOSTLY chunks
+    # already seen earlier in the corpus (template spam, boilerplate
+    # mosaics). Drop docs whose word-10-gram duplicate mass exceeds the
+    # threshold; the keep-first window means the FIRST occurrence of any
+    # repeated content always survives.
+    fracs = chunk_dup_fractions(
+        neardup.select("doc_id", F.col("extracted_text").alias("text"))
+    )
+    too_dup = fracs.filter(F.col("dup_frac") > max_chunk_dup).select("doc_id")
+    derep = neardup.join(too_dup, "doc_id", "left_anti")
+    n_derep = derep.count()
+
     # 4. PII redaction — same codegen mask as the oracled redact_pii query
-    redacted = neardup.select(
+    redacted = derep.select(
         "doc_id", "conv_id", "turn_idx", "quality_score", "text_md5",
         F.regexp_replace(
             F.regexp_replace("extracted_text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
@@ -103,20 +122,35 @@ def curate_corpus(
     # curated relation serves the stats AND the write — materialize the
     # redaction pass once; split mix and PII count share one aggregation
     curated = dataset_split(redacted, "doc_id").localCheckpoint(eager=True)
-    stat_rows = curated.groupBy("split").agg(
+    # per-split packing stats (token-budget sequence packing over the
+    # curated output: what the training loader consumes) — the running-sum
+    # window rides the same split/doc ordering the write uses
+    from pyspark.sql import Window as W
+
+    wtok = W.partitionBy("split").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    with_tok = curated.withColumn("_tok", F.size(F.split("text", " ")))
+    with_pack = with_tok.withColumn(
+        "pack_id",
+        F.floor((F.sum("_tok").over(wtok) - F.col("_tok")) / F.lit(float(PACK_BUDGET))).cast("bigint"),
+    )
+    stat_rows = with_pack.groupBy("split").agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("n_pii_hits") > 0, 1).otherwise(0)).alias("n_pii"),
+        (F.max("pack_id") + 1).alias("n_packs"),
     ).collect()
     mix = {r["split"]: int(r["n"]) for r in stat_rows}
     n_pii = sum(int(r["n_pii"] or 0) for r in stat_rows)
+    n_packs = {r["split"]: int(r["n_packs"]) for r in stat_rows}
 
     stats = {
         "n_input": n_input,
         "n_quality_gated": n_gated,
         "n_after_exact_dedup": n_exact,
         "n_after_neardup": n_neardup,
+        "n_after_chunk_derep": n_derep,
         "n_docs_with_pii": int(n_pii or 0),
         "split_mix": {k: int(v) for k, v in sorted(mix.items())},
+        "pack_counts": {k: v for k, v in sorted(n_packs.items())},
     }
 
     if out_root:
@@ -125,6 +159,7 @@ def curate_corpus(
         stage_rows = [
             ("input", n_input), ("quality_gate", n_gated),
             ("exact_dedup", n_exact), ("neardup_dedup", n_neardup),
+            ("chunk_derep", n_derep),
         ]
         io.write(
             spark.createDataFrame(stage_rows, "stage string, n_docs bigint"),

@@ -33,11 +33,16 @@ def test_curation_stage_invariants(spark, extracted, tmp_path):
 
     # monotone shrink through the filtering stages
     assert (stats["n_input"] >= stats["n_quality_gated"]
-            >= stats["n_after_exact_dedup"] >= stats["n_after_neardup"])
-    assert stats["n_after_neardup"] > 0
+            >= stats["n_after_exact_dedup"] >= stats["n_after_neardup"]
+            >= stats["n_after_chunk_derep"])
+    assert stats["n_after_chunk_derep"] > 0
     # splits cover the survivors exactly
-    assert sum(stats["split_mix"].values()) == stats["n_after_neardup"]
+    assert sum(stats["split_mix"].values()) == stats["n_after_chunk_derep"]
     assert set(stats["split_mix"]) <= {"train", "val", "test"}
+    # pack counts: at least one pack per non-empty split, and no more
+    # packs than docs
+    for split, n in stats["split_mix"].items():
+        assert 1 <= stats["pack_counts"][split] <= n
     # the injected addresses survive gating and are masked
     assert stats["n_docs_with_pii"] > 0
 
@@ -53,6 +58,7 @@ def test_curation_stage_invariants(spark, extracted, tmp_path):
     stages = {r["stage"]: r["n_docs"] for r in io.read("curation_stats").collect()}
     assert stages["input"] == stats["n_input"]
     assert stages["neardup_dedup"] == stats["n_after_neardup"]
+    assert stages["chunk_derep"] == stats["n_after_chunk_derep"]
 
 
 def test_curation_is_deterministic(spark, extracted, tmp_path):
