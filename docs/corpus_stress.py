@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Corpus-operator stress: the round-3 curation operators at ~1M docs /
+~60M tokens, generated JVM-side (no Python in generation), with
+DELIBERATE hot keys:
+
+- every doc shares its first 2 chunks (20 words) with the ~1,000 other
+  docs in its template family → the chunk-dedup keep-first window sees
+  2,000-row hot chunk keys and a ~2/6 duplicate mass corpus-wide;
+- the token-count distribution is uniform 40-80 words → packing windows
+  see even load;
+- tf-idf explodes ~60M words over a 4,096-word vocabulary → the word
+  shuffle is vocabulary-bounded regardless of corpus size (the property
+  that makes it 100 TB-safe).
+
+Prints one JSON line; record results in BENCH/SCALE.md.
+Run: python docs/corpus_stress.py  (env: STRESS_DOCS, default 1_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("STRESS_DOCS", "1000000"))
+VOCAB = 4096
+FAMILIES = 1000
+PREFIX_WORDS = 20  # = 2 chunks shared within a template family
+
+
+def main() -> None:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.corpus import (
+        CHUNK_WORDS,
+        PACK_BUDGET,
+        chunk_dup_fractions,
+    )
+    from pdf_extraction_spark.session import build_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(app_name="corpus_stress", master=f"local[{cpus}]",
+                          shuffle_partitions=4 * cpus)
+
+    # JVM-side generation: word_i = vocab[xxhash64(key) % VOCAB]; the first
+    # PREFIX_WORDS words hash on (family, i) — shared within the family —
+    # the rest on (doc_id, i) — unique content.
+    vocab = F.array(*[F.lit(f"w{i:04d}") for i in range(VOCAB)])
+    n_words = (F.pmod(F.xxhash64(F.col("id"), F.lit("len")), F.lit(41)) + 40).cast("int")
+    family = F.pmod(F.col("id"), F.lit(FAMILIES))
+
+    def word_at(i):
+        key = F.when(i <= PREFIX_WORDS, F.xxhash64(family, i)).otherwise(
+            F.xxhash64(F.col("id"), i, F.lit("body"))
+        )
+        return F.element_at(vocab, (F.pmod(key, F.lit(VOCAB)) + 1).cast("int"))
+
+    docs = (
+        spark.range(N_DOCS)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("src"), F.pmod(F.col("id"), F.lit(20)).cast("string")).alias("source"),
+            F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"), F.lit("zh")),
+                         (F.pmod(F.col("id"), F.lit(5)) + 1).cast("int")).alias("lang"),
+            F.array_join(F.transform(F.sequence(F.lit(1), n_words), word_at), " ").alias("text"),
+        )
+        .localCheckpoint(eager=True)  # generation is NOT part of any timing
+    )
+    n = docs.count()
+    total_words = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    out: dict = {"n_docs": n, "total_words": int(total_words), "cpus": cpus, "timings_s": {}}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        r = fn()
+        out["timings_s"][name] = round(time.monotonic() - t0, 1)
+        return r
+
+    # 1. chunk-grain dedup over ~total_words/10 chunks with 2k-hot keys
+    fr = timed("chunk_dup_fractions", lambda: chunk_dup_fractions(docs)
+               .agg(F.sum("n_chunks"), F.sum("n_dup_chunks")).collect()[0])
+    out["n_chunks"], out["n_dup_chunks"] = int(fr[0]), int(fr[1])
+
+    # 2. tf-idf word shuffle (~60M exploded words → 4,096-word vocab)
+    def tfidf():
+        words = docs.select("doc_id", "lang",
+                            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+        tf = words.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("tf"))
+        df_tbl = tf.groupBy("word").agg(F.count("*").alias("df"))
+        return tf.join(F.broadcast(df_tbl), "word").groupBy("lang").agg(
+            F.count("*").alias("n_terms")).collect()
+    out["tfidf_lang_rows"] = len(timed("tfidf_agg", tfidf))
+
+    # 3. packing windows per source (50k docs per source partition)
+    def pack():
+        t = docs.select("source", "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        p = t.withColumn("pack_id", F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(float(PACK_BUDGET))).cast("bigint"))
+        return p.groupBy("source").agg(F.max("pack_id")).count()
+    out["pack_sources"] = timed("pack_sequences", pack)
+
+    out["dup_mass"] = round(out["n_dup_chunks"] / out["n_chunks"], 4)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
