@@ -278,7 +278,51 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+def q_session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's NATIVE session-window operator (the one the streaming path
+    uses for stateful sessionization) exercised in batch: per-user
+    30-minute-gap sessions with start / end(=last event + gap) / counts.
+    One shuffle on (user_id, merged window). The oracle reproduces the
+    exact merge rule as gaps-and-islands SQL: a new session starts when
+    the gap to the previous event is >= the session timeout (Spark merges
+    an event only while it lands strictly BEFORE the running session's
+    end). Complements `sessionize`, which builds the same semantics from
+    lag/cumsum primitives."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SQL_SESSION_WINDOW = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sess ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
+    "session_window_stats": (q_session_window_stats, _SQL_SESSION_WINDOW),
     "sketch_accuracy": (q_sketch_accuracy, _SQL_SKETCH),
     "funnel_view_click_purchase": (q_funnel, _SQL_FUNNEL),
     "topk_per_group": (q_topk_per_group, _SQL_TOPK),
