@@ -230,6 +230,38 @@ def stream_enrich_events(
     )
 
 
+def stream_events_sessions(
+    spark: SparkSession,
+    src_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Stateful streaming sessionization with the NATIVE session-window
+    operator: per-user sessions merge while events keep arriving inside
+    the gap; the watermark closes a session once event time moves past
+    session_end + delay, and append mode emits each closed session exactly
+    once. The batch twin (`session_window_stats`) is oracle-checked
+    against DuckDB — the streaming form must emit a subset of exactly
+    those rows (asserted in tests)."""
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
 EXPIRED_SENTINEL = "__expired__"
 
 

@@ -357,3 +357,37 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     ]
     assert list(final["n"]) == [3, 1, 1]
     assert not (final["sum_value"] >= 99.0).any()
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Streaming sessionization (native session_window + watermark): every
+    closed session emitted in append mode must equal its batch twin
+    row-for-row (the twin is DuckDB-oracled as session_window_stats)."""
+    from pdf_extraction_spark.streaming.jobs import stream_events_sessions
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(SF, "events.parquet"), os.path.join(src, "part-0.parquet"))
+
+    q = (
+        stream_events_sessions(spark, src)
+        .writeStream.format("memory").queryName("sess_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess_out").collect()
+    assert got, "stream emitted no closed sessions"
+
+    batch = (
+        spark.read.parquet(os.path.join(SF, "events.parquet"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "sum_value")
+    )
+    b = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    for r in got:
+        assert b[(r.user_id, r.session_start, r.session_end)] == (r.n_events, r.sum_value)
