@@ -57,6 +57,8 @@ HEADLINE = (
     "tfidf_top_terms",
     "scd2_user_segments",
     "source_mix_sample",
+    "session_window_stats",
+    "dedup_incremental_lsh",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales
