@@ -191,6 +191,8 @@ def main() -> None:
     out["extraction"]["parallel_speedup"] = round(
         out["extraction"]["turns_per_sec"] / calib, 2
     )
+    out["calib_1core_turns_per_sec"] = calib  # top-level visibility: compare
+    # query timings across rounds ONLY after normalizing by this yardstick
 
     if extraction_only:
         out["metric"] = "extraction_turns_per_sec"
