@@ -136,6 +136,69 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+def q_assemble_training_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sample assembly: the last pipeline stage before a training
+    loader — join each document to its embedding row (doc_id == vec_id),
+    nest (text metadata, embedding, label) into ONE record struct, and
+    report per-language integrity stats: record counts, embedding
+    coverage, and an integer norm checksum (sum of quantized ||e||², exact
+    in both engines) that detects any truncated/reordered vector. The
+    nested struct is what actually gets written at scale (one
+    self-contained row per sample, column-pruned reads); here the stats
+    aggregate proves the assembly. Left join: docs without embeddings are
+    KEPT and counted (the loader decides policy), never silently dropped."""
+    from pdf_extraction_spark.operators.similarity import quantized_norm2, valid_embeddings
+
+    docs = T(spark, sf, "documents")
+    # norm checksum computed on the embedding side BEFORE the join — the
+    # vectorized numpy UDF (no interpreted HOF), and no null handling needed
+    emb = valid_embeddings(T(spark, sf, "embeddings")).select(
+        F.col("vec_id").alias("doc_id"), "embedding", "label",
+        quantized_norm2(F.col("embedding")).alias("qnorm2"),
+    )
+    rec = docs.join(emb, "doc_id", "left").select(
+        "lang",
+        F.struct(
+            F.col("doc_id"), F.col("text"), F.col("n_chars"),
+            F.col("embedding"), F.col("label"),
+        ).alias("record"),
+        F.when(F.col("embedding").isNotNull(), 1).otherwise(0).alias("has_emb"),
+        F.coalesce(F.col("qnorm2"), F.lit(0)).alias("qnorm2"),
+    )
+    return (
+        rec.select("lang", F.col("record.n_chars").alias("n_chars"), "has_emb", "qnorm2")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("has_emb").alias("n_with_embedding"),
+            F.round(F.sum("has_emb") / F.count("*"), 6).alias("coverage"),
+            F.sum("qnorm2").alias("qnorm2_checksum"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+from pdf_extraction_spark.operators.similarity import DIM as _SIM_DIM  # noqa: E402
+
+_SQL_ASSEMBLE = f"""
+SELECT d.lang, count(*) AS n_records,
+       CAST(sum(CASE WHEN e.embedding IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_embedding,
+       round(sum(CASE WHEN e.embedding IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS coverage,
+       CAST(coalesce(sum(list_sum(list_transform(e.embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+               * CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)))), 0) AS BIGINT) AS qnorm2_checksum,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d LEFT JOIN
+     (SELECT * FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {_SIM_DIM}) e
+  ON d.doc_id = e.vec_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 QUERIES = {
     "text_embed_neardup": (q_text_embed_neardup, _SQL_TEXT_EMBED),
+    "assemble_training_records": (q_assemble_training_records, _SQL_ASSEMBLE),
 }
