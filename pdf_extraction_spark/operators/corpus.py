@@ -239,21 +239,14 @@ def q_chunk_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     partitions by a 64-bit chunk hash instead of the raw string (same
     shuffle shape, 8-byte keys)."""
     docs = T(spark, sf, "documents")
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(float(CHUNK_WORDS))).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
-    )
-    c = docs.select("doc_id", "source", F.posexplode(chunks).alias("chunk_idx", "chunk"))
-    rn = F.row_number().over(W.partitionBy("chunk").orderBy("doc_id", "chunk_idx"))
-    r = c.withColumn("is_dup", (rn > 1).cast("int"))
+    fracs = chunk_dup_fractions(docs)  # ONE implementation, shared with curation
     return (
-        r.groupBy("source")
+        fracs.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
         .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum("is_dup").alias("n_dup_chunks"),
-            F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_frac"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("n_dup_chunks").alias("n_dup_chunks"),
+            F.round(F.sum("n_dup_chunks") / F.sum("n_chunks"), 6).alias("dup_frac"),
         )
         .orderBy("source")
     )
@@ -307,11 +300,13 @@ def q_source_mix_sample(spark: SparkSession, sf: str) -> DataFrame:
     kept = docs.join(F.broadcast(rates), "lang").filter(
         hash_fraction(F.col("doc_id"), salt="mix") < F.col("rate")
     )
+    # kept already carries n_lang from the rates join — group on it rather
+    # than re-joining the rates table afterwards
     return (
-        kept.groupBy("lang")
-        .agg(F.count("*").alias("n_kept"), F.min("doc_id").alias("first_doc"))
-        .join(F.broadcast(rates.select("lang", "n_lang")), "lang")
-        .select("lang", "n_lang", "n_kept", F.round(F.col("n_kept") / F.col("n_lang"), 6).alias("kept_frac"))
+        kept.groupBy("lang", "n_lang")
+        .agg(F.count("*").alias("n_kept"))
+        .select("lang", "n_lang", "n_kept",
+                F.round(F.col("n_kept") / F.col("n_lang"), 6).alias("kept_frac"))
         .orderBy("lang")
     )
 

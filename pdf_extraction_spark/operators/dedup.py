@@ -139,14 +139,18 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle: int =
     return grams.join(sigs, "doc_id", "inner")
 
 
-def lsh_band_candidates(sigs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from banded signatures, with the
-    hot-bucket cap applied BEFORE the self-join."""
-    # unpivot mh0..mh{k-1} → (doc_id, seed, mh)
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, seed, mh) long form of the wide signature columns."""
     stack_expr = "stack({}, {}) as (seed, mh)".format(
         N_HASHES, ", ".join(f"'{s}', mh{s}" for s in range(N_HASHES))
     )
-    bands = sigs.selectExpr("doc_id", stack_expr)
+    return sigs.selectExpr("doc_id", stack_expr)
+
+
+def lsh_band_candidates(sigs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded signatures, with the
+    hot-bucket cap applied BEFORE the self-join."""
+    bands = _band_rows(sigs)  # unpivot mh0..mh{k-1} → (doc_id, seed, mh)
     # hot-bucket cap as a BROADCAST ANTI-JOIN against the over-cap bucket
     # set — map-side; see module docstring for the rejected count-window form
     hot = (
@@ -168,19 +172,14 @@ def lsh_band_candidates(sigs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -> DataFrame:
-    """LSH candidate pairs (1 row per band match, r=1 bands) verified with
-    exact shingle Jaccard; emits pairs with jaccard >= JACCARD_MIN."""
-    from pyspark.storagelevel import StorageLevel
-
-    # the signature stage feeds THREE consumers (bands + both jaccard join
-    # sides); persist it or Catalyst recomputes the shingle/minhash subtree
-    # per consumer (measured 25s → 3s at sf0.1)
-    sigs = track(minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK))
-    cand = lsh_band_candidates(sigs, max_band_width)
-    ga = sigs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-    gb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-    jac = (
+def _verify_jaccard(cand: DataFrame, grams: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (doc_a, doc_b)
+    pairs; emits pairs whose ROUNDED jaccard (6 dp — matching the oracle's
+    filter exactly) clears JACCARD_MIN. Shared by the batch and the
+    incremental pipelines so the delta==batch contract can't drift."""
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    return (
         cand.join(ga, "doc_a").join(gb, "doc_b")
         .select(
             "doc_a", "doc_b",
@@ -193,19 +192,23 @@ def minhash_lsh_pairs(docs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -> 
         .filter(F.col("jaccard") >= JACCARD_MIN)
         .orderBy("doc_a", "doc_b")
     )
-    return jac
+
+
+def minhash_lsh_pairs(docs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -> DataFrame:
+    """LSH candidate pairs (1 row per band match, r=1 bands) verified with
+    exact shingle Jaccard; emits pairs with jaccard >= JACCARD_MIN."""
+    from pyspark.storagelevel import StorageLevel
+
+    # the signature stage feeds THREE consumers (bands + both jaccard join
+    # sides); persist it or Catalyst recomputes the shingle/minhash subtree
+    # per consumer (measured 25s → 3s at sf0.1)
+    sigs = track(minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK))
+    cand = lsh_band_candidates(sigs, max_band_width)
+    return _verify_jaccard(cand, sigs.select("doc_id", "grams"))
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(T(spark, sf, "documents"))
-
-
-def _band_rows(sigs: DataFrame) -> DataFrame:
-    """(doc_id, seed, mh) long form of the wide signature columns."""
-    stack_expr = "stack({}, {}) as (seed, mh)".format(
-        N_HASHES, ", ".join(f"'{s}', mh{s}" for s in range(N_HASHES))
-    )
-    return sigs.selectExpr("doc_id", stack_expr)
 
 
 def build_minhash_index(docs: DataFrame):
@@ -241,7 +244,10 @@ def incremental_minhash_pairs(
         .filter(F.col("_w") > max_band_width)
         .select("seed", "mh")
     )
-    capped_all = track(all_bands.join(F.broadcast(hot), ["seed", "mh"], "left_anti").persist())
+    # capped_all has exactly ONE consumer (the o-side of the candidate
+    # join) — no persist: caching it would pin O(|corpus| bands) memory
+    # without ever avoiding a recomputation
+    capped_all = all_bands.join(F.broadcast(hot), ["seed", "mh"], "left_anti")
     capped_new = new_bands.join(F.broadcast(hot), ["seed", "mh"], "left_anti")
     n, o = capped_new.alias("n"), capped_all.alias("o")
     cand = (
@@ -254,21 +260,7 @@ def incremental_minhash_pairs(
         .distinct()
     )
     grams_all = index_grams.unionByName(new_sigs.select("doc_id", "grams"))
-    ga = grams_all.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-    gb = grams_all.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
-    return (
-        cand.join(ga, "doc_a").join(gb, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.round(
-                F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-                / F.size(F.array_union("grams_a", "grams_b")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_MIN)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_jaccard(cand, grams_all)
 
 
 def q_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -308,8 +300,8 @@ SELECT c.doc_a, c.doc_b,
        round(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
              / len(list_distinct(sa.grams || sb.grams)), 6) AS jaccard
 FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
-WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
-      / len(list_distinct(sa.grams || sb.grams)) >= {JACCARD_MIN}
+WHERE round(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+      / len(list_distinct(sa.grams || sb.grams)), 6) >= {JACCARD_MIN}
 ORDER BY doc_a, doc_b
 """
 
@@ -317,9 +309,10 @@ ORDER BY doc_a, doc_b
 # Oracle: the batch SQL restricted to pairs touching the "new batch"
 # (doc_id % 10 == 0) — the exact delta contract of incremental maintenance.
 _SQL_INCREMENTAL = _SQL_MINHASH.replace(
-    "WHERE CAST(",
-    "WHERE (c.doc_a % 10 = 0 OR c.doc_b % 10 = 0)\n  AND CAST(",
+    "WHERE round(",
+    "WHERE (c.doc_a % 10 = 0 OR c.doc_b % 10 = 0)\n  AND round(",
 )
+assert _SQL_INCREMENTAL != _SQL_MINHASH, "restriction splice did not match"
 
 
 
@@ -537,17 +530,26 @@ def neardup_clusters(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
     )
 
 
+def _clustered_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared clustering preamble: materialize the verified pair set ONCE
+    (the contraction loop re-reads it every round), release the signature/
+    band caches it was built from, then run star-contraction. The
+    checkpoint-then-release ordering is load-bearing (r2's plan-growth OOM
+    class) — keep it in this one place."""
+    pairs = (
+        q_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b").localCheckpoint(eager=True)
+    )
+    release_caches()
+    return neardup_clusters(pairs)
+
+
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster the verified MinHash near-dup pairs; per cluster report the
     keeper, member count, and dropped-doc count (the dedup decision)."""
     # materialize the (small) verified pair set once — the label loop
     # consumes it every round — then release the signature/band caches it
     # was built from (they are fully consumed now)
-    pairs = (
-        q_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b").localCheckpoint(eager=True)
-    )
-    release_caches()
-    clusters = neardup_clusters(pairs)
+    clusters = _clustered_docs(spark, sf)
     return (
         clusters.groupBy("keeper")
         .agg(
@@ -578,8 +580,8 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 pairs AS (
   SELECT c.doc_a, c.doc_b
   FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
-  WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
-        / len(list_distinct(sa.grams || sb.grams)) >= {JACCARD_MIN}
+  WHERE round(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+        / len(list_distinct(sa.grams || sb.grams)), 6) >= {JACCARD_MIN}
 ),
 edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION SELECT doc_b, doc_a FROM pairs),
@@ -616,11 +618,7 @@ def q_cluster_best_keeper(spark: SparkSession, sf: str) -> DataFrame:
     single shuffle the clustering already pays, reusing its partitioning."""
     from pyspark.sql import Window as W
 
-    pairs = (
-        q_minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b").localCheckpoint(eager=True)
-    )
-    release_caches()
-    clusters = neardup_clusters(pairs)  # (doc_id, keeper=cluster label)
+    clusters = _clustered_docs(spark, sf)  # (doc_id, keeper=cluster label)
     docs = T(spark, sf, "documents").select("doc_id", "n_chars")
     j = clusters.join(docs, "doc_id")
     w = W.partitionBy("keeper").orderBy(F.desc("n_chars"), F.asc("doc_id"))

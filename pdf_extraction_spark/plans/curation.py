@@ -105,7 +105,9 @@ def curate_corpus(
         neardup.select("doc_id", F.col("extracted_text").alias("text"))
     )
     too_dup = fracs.filter(F.col("dup_frac") > max_chunk_dup).select("doc_id")
-    derep = neardup.join(too_dup, "doc_id", "left_anti")
+    # checkpoint like the sibling stages: the chunk window is the heaviest
+    # new subtree and feeds both this count and the downstream redaction
+    derep = neardup.join(too_dup, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_derep = derep.count()
 
     # 4. PII redaction — same codegen mask as the oracled redact_pii query
