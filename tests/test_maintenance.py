@@ -247,3 +247,31 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
 
     plan = plan_of(j)
     assert "dynamicpruningexpression(event_type" in plan, plan
+
+
+def test_bucketed_equality_filter_prunes_buckets(spark, tmp_path):
+    """Bucket pruning: a point lookup on the bucketing key must read ONE
+    bucket's files (SelectedBucketsCount: 1 out of N) — the scan-side
+    payoff of the bucketed layout beyond shuffle elimination. Requires
+    disabling autoBucketedScan (the planner otherwise reverts to a plain
+    file scan when no join/agg consumes the clustering)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.sources.maintenance import write_bucketed
+    from tests.test_plan_shapes import plan_of
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    db, loc = "bprune_db", str(tmp_path / "wh")
+    saved = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        write_bucketed(spark, ev.select("event_id", "user_id", "value"),
+                       db, "ev_b", "user_id", 8, location=loc)
+        t = spark.table(f"{db}.ev_b").filter(F.col("user_id") == 7)
+        plan = plan_of(t)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        want = ev.filter(F.col("user_id") == 7).count()
+        assert t.count() == want and want > 0
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", saved)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
