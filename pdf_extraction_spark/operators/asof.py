@@ -188,7 +188,46 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+def q_unpivot_event_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide → long, the reshaping inverse of the pivot above):
+    the per-user per-type sum matrix is melted back to
+    (user_id, event_type, total) rows via the native ``unpivot`` operator
+    and re-aggregated per type. The round-trip must reproduce exactly the
+    direct long-form aggregate — which IS the oracle. Zero-filled pivot
+    cells are dropped on the way back (ids_only semantics of a sparse
+    matrix), so users without a given type contribute no row. Scale shape:
+    pivot is one shuffle on user_id; unpivot is a map-only generator (no
+    shuffle); the final per-type rollup is a 4-group aggregate."""
+    wide = q_pivot_event_types(spark, sf)
+    long = wide.unpivot(
+        ["user_id"], ["click", "view", "purchase", "error"], "event_type", "total"
+    ).filter(F.col("total") != 0.0)
+    return (
+        long.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.round(F.sum("total"), 2).alias("grand_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_UNPIVOT = """
+WITH agg AS (
+  SELECT user_id, event_type, round(sum(value), 2) AS total
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase', 'error')
+  GROUP BY user_id, event_type
+)
+SELECT event_type, count(*) AS n_users, round(sum(total), 2) AS grand_total
+FROM agg WHERE total <> 0.0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "unpivot_event_matrix": (q_unpivot_event_matrix, _SQL_UNPIVOT),
     "asof_join": (q_asof_join, _SQL_ASOF),
     "asof_join_broadcast": (q_asof_join_broadcast, _SQL_ASOF),
     "pivot_event_types": (q_pivot_event_types, _SQL_PIVOT),
