@@ -93,6 +93,17 @@ cluster each added executor brings its own memory bandwidth and the 2->8
 scaling curve (0.9+ efficiency) is the one that extrapolates. The same
 pinned-pair evidence can be reproduced with
 `BENCH_LEVELS=8,32 python bench_scaling.py`.
+
+## Run-to-run band
+
+Pinned 2v8 runs on this box have measured efficiency 0.849, 0.909,
+0.858, and \u2014 during a documented machine slow-phase \u2014 0.650 (8-core leg
+5080 / 5584 / 4882 / 2589 turns/s). Every healthy-phase run clears the
+\u22650.8 target; the slow-phase run is environmental (both legs depressed
+40-60% while the single-core calibration fell ~3\u00d7 in the same window \u2014
+see BENCH/SCALE.md "Machine-speed swings"). The table above records the
+run that produced this file; judge cross-round numbers only after
+normalizing by `calib_1core_turns_per_sec` from the same bench output.
 """
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
     with open(os.path.join(HERE, "BENCH", "BASELINE.md"), "w") as f:
