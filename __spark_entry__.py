@@ -6,9 +6,11 @@
 - ``queries()``     : one entry per implemented operator (SURVEY.md §2 +
   the training-data operator set), each ``(spark, sf_dir) -> DataFrame``.
 - ``oracle_sql()``  : DuckDB-runnable ANSI SQL twins, identically aliased.
-  The one op without a portable SQL expression (iterative IVF ANN) is
-  rows-only; everything else — including SimHash (md5 word hashes) and
-  sign-LSH buckets (integer plane family) — has a bit-identical oracle.
+  Every registered query has an oracle (since r4: the IVF top-k runs with
+  exhaustive probing, making it bit-identical to the brute-force SQL; the
+  pruned-probe path is envelope-gated by ``ann_ivf_recall``). SimHash (md5
+  word hashes) and sign-LSH buckets (integer plane family) are likewise
+  bit-identical.
 """
 
 from __future__ import annotations

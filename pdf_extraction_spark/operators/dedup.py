@@ -19,8 +19,10 @@
                      bit-votes) was CodegenFallback — interpreted lambdas,
                      ~10⁴ rows/s/core — and is gone.
 - neardup_clusters : verified pairs → connected components → min-id keeper,
-                     via min-label propagation WITH pointer jumping
-                     (O(log diameter) rounds) and per-round plan truncation.
+                     via alternating LARGE-STAR / SMALL-STAR edge contraction
+                     (Kiveris et al., SoCC 2014 — O(log² n) rounds worst-case)
+                     with per-round localCheckpoint plan truncation and a
+                     RAISE on non-convergence.
 
 Scale notes: exact dedup is one shuffle on the hash. MinHash avoids the n²
 comparison: signatures are computed in ONE groupBy (k min-aggregates, no
@@ -216,7 +218,13 @@ def build_minhash_index(docs: DataFrame):
     between runs: banded signature rows + gram sets. At scale both live as
     tables bucketed by (seed, mh) / doc_id, appended per batch — signatures
     are computed ONCE per document, ever."""
-    sigs = minhash_signatures(docs)
+    from pyspark.storagelevel import StorageLevel
+
+    # the index signatures feed FOUR consumers inside incremental_minhash_pairs
+    # (union width agg, capped_all join side, and both gram sides of the
+    # jaccard verify) — persist, or the shingle/minhash subtree re-runs per
+    # consumer (the same 25s → 3s class of win minhash_lsh_pairs documents)
+    sigs = track(minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK))
     return _band_rows(sigs), sigs.select("doc_id", "grams")
 
 

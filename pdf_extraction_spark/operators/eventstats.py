@@ -251,9 +251,14 @@ def q_sketch_accuracy(spark: SparkSession, sf: str) -> DataFrame:
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
+    # HLL envelope: rsd=0.05 → 1σ ≈ 5% relative error; the bound is 4σ
+    # (20%), so a legitimate statistical excursion failing the gate is a
+    # ~1-in-16k-groups event — a gate failure here is an unambiguous drift
+    # signal, not sketch noise. (3σ/15% was the earlier bound; at ~0.3%
+    # false-failure per group it made rare sweep flakes plausible.)
     hll_ok = (
         F.abs(F.col("hll_users") - F.col("exact_users"))
-        <= 0.15 * F.col("exact_users")
+        <= 0.20 * F.col("exact_users")
     )
     p50_ok = (
         F.abs(F.col("apx_p50") - F.col("exact_p50"))

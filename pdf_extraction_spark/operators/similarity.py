@@ -441,10 +441,13 @@ QUERIES = {
 # centroids (deterministic init, few Lloyd iterations), vectors assigned to
 # their nearest centroid list; a query scans only the n_probe nearest lists.
 # The centroid matrix is the ONLY driver-side state (k × dim floats); every
-# assignment/update is a distributed aggregation. Spark-only (iterative —
-# not SQL-expressible): correctness is a RECALL bound vs exact top-k,
-# asserted in tests/test_similarity_ivf.py (k=16 on testdata AND k=256 on a
-# clustered synthetic corpus).
+# assignment/update is a distributed aggregation. The iterative k-means
+# state has no portable SQL twin, so oracle coverage is split: the
+# exhaustive-probe form (`ann_ivf_topk`) is bit-identical to brute force
+# and fully SQL-oracled; the pruned form is envelope-gated
+# (`ann_ivf_recall`) and RECALL-bounded vs exact top-k in
+# tests/test_similarity_ivf.py (k=16 on testdata AND k=256 on a clustered
+# synthetic corpus).
 
 IVF_K = 16
 IVF_ITERS = 3
@@ -530,16 +533,28 @@ def ivf_search(assigned: DataFrame, centroids, query_vec, k: int = TOP_K,
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-ANN top-k for the standard query vector (rows-only check; the
-    recall-vs-exact assertion lives in tests/test_similarity_ivf.py)."""
+    """IVF-ANN top-k for the standard query vector, run with EXHAUSTIVE
+    probing (n_probe = every list). With all lists probed the list pruning
+    is a no-op, so the result is bit-identical to the exact quantized-cosine
+    top-k — which makes this a FULL DuckDB-oracle check of the whole IVF
+    machinery (train → assign → probe-filter → score → rank): if k-means
+    drops a vector, assignment misroutes, or the probe filter leaks/loses
+    rows, the hash gate fails. The PRUNED path (n_probe={IVF_NPROBE} of
+    {IVF_K}) is what a deployment runs; its approximation quality is
+    oracle-gated at the envelope grain by `ann_ivf_recall` below and
+    recall-bounded in tests/test_similarity_ivf.py — the raw pruned list
+    depends on iterative k-means float state and has no portable SQL twin.
+    (Through r3 this entry was the registry's one rows-only check.)"""
     emb = valid_embeddings(T(spark, sf, "embeddings"))
     centroids = ivf_train(emb)
     assigned = ivf_assign(emb.filter(F.col("vec_id") != QUERY_VEC_ID), centroids)
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()[0]["embedding"]
-    return ivf_search(assigned, centroids, list(qv))
+    return ivf_search(assigned, centroids, list(qv), n_probe=len(centroids))
 
 
-QUERIES["ann_ivf_topk"] = (q_ann_ivf_topk, None)
+# exhaustive probing ≡ brute-force scan under the same quantized ordering →
+# the brute-force SQL is the exact oracle
+QUERIES["ann_ivf_topk"] = (q_ann_ivf_topk, _SQL_ANN)
 
 
 IVF_RECALL_MIN = 0.5  # the bound tests/test_similarity_ivf.py guarantees

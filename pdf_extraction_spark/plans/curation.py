@@ -138,7 +138,11 @@ def curate_corpus(
     stat_rows = with_pack.groupBy("split").agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("n_pii_hits") > 0, 1).otherwise(0)).alias("n_pii"),
-        (F.max("pack_id") + 1).alias("n_packs"),
+        # countDistinct, not max+1: a doc longer than PACK_BUDGET makes the
+        # running-sum floor skip pack ids, and phantom empty packs must not
+        # be counted (overflow-by-one semantics — the oversized doc owns one
+        # real pack, the skipped ids never exist)
+        F.countDistinct("pack_id").alias("n_packs"),
     ).collect()
     mix = {r["split"]: int(r["n"]) for r in stat_rows}
     n_pii = sum(int(r["n_pii"] or 0) for r in stat_rows)

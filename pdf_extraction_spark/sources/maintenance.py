@@ -210,8 +210,15 @@ def write_bucketed(
     tables go through saveAsTable into ``database`` (created at
     ``location`` if given — keeps warehouse state inside the caller's
     scratch dir, not the repo cwd)."""
-    loc = f" LOCATION '{location}'" if location else ""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+    # identifiers/paths reach SQL text: validate the database name against a
+    # safe pattern and escape quotes in the location (a path containing `'`
+    # would otherwise break — or inject into — the CREATE DATABASE statement)
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", database):
+        raise ValueError(f"unsafe database identifier: {database!r}")
+    loc = " LOCATION '{}'".format(location.replace("'", "''")) if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`{loc}")
     (
         df.write.format("parquet")
         .bucketBy(n_buckets, key)

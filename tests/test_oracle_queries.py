@@ -32,6 +32,7 @@ def test_queries_and_oracles_consistent():
 
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
-    # non-SQL-expressible ops are the documented exceptions (SimHash gained
-    # a full md5-based oracle in r3; only the iterative IVF remains)
-    assert set(qs) - set(os_) == {"ann_ivf_topk"}, set(qs) - set(os_)
+    # every registered query has an oracle since r4 (SimHash gained a full
+    # md5 oracle in r3; IVF top-k runs exhaustive-probe since r4, making it
+    # bit-identical to the brute-force SQL)
+    assert set(qs) - set(os_) == set(), set(qs) - set(os_)
