@@ -13,6 +13,7 @@ from pdf_extraction_spark.operators import (  # noqa: F401
     nested,
     relational,
     sampling,
+    sarray,
     scrub,
     similarity,
     skew,
@@ -47,7 +48,7 @@ _PRIORITY = [
 def all_queries():
     out = {}
     for mod in (relational, dedup, similarity, textstats, multimodal, asof, nested, skew,
-                sampling, scrub, eventstats, embed, corpus):
+                sampling, scrub, eventstats, embed, corpus, sarray):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair

@@ -1,0 +1,105 @@
+"""Suffix-array exact-substring dedup: property tests vs pure-Python
+references (the DuckDB oracle covers the per-source query; these pin the
+algorithm itself and the cross-batch reconciliation)."""
+
+import numpy as np
+import pytest
+
+from pdf_extraction_spark.operators.sarray import (
+    SA_WINDOW,
+    _adjacent_window_equal,
+    duplicated_token_mass,
+    suffix_array,
+)
+
+
+def _ref_suffix_array(seq):
+    return sorted(range(len(seq)), key=lambda i: list(seq[i:]))
+
+
+@pytest.mark.parametrize("seed,n,alpha", [
+    (0, 1, 2), (1, 2, 1), (2, 17, 1), (3, 50, 2), (4, 200, 3),
+    (5, 500, 5), (6, 300, 2), (7, 1000, 4), (8, 64, 1), (9, 257, 7),
+])
+def test_suffix_array_matches_sorted_suffixes(seed, n, alpha):
+    rng = np.random.RandomState(seed)
+    seq = rng.randint(-alpha, alpha + 1, size=n).astype(np.int64)
+    assert suffix_array(seq).tolist() == _ref_suffix_array(seq)
+
+
+def test_suffix_array_empty():
+    assert suffix_array(np.empty(0, dtype=np.int64)).tolist() == []
+
+
+def test_adjacent_window_equal_matches_slices():
+    rng = np.random.RandomState(42)
+    for w in (2, 3, 5):
+        seq = rng.randint(0, 3, size=120).astype(np.int64)
+        sa = suffix_array(seq)
+        eq = _adjacent_window_equal(seq, sa, w)
+        n = len(seq)
+        for i in range(len(sa) - 1):
+            a, b = sa[i], sa[i + 1]
+            expect = (
+                a <= n - w and b <= n - w
+                and seq[a : a + w].tolist() == seq[b : b + w].tolist()
+            )
+            assert bool(eq[i]) == expect, (i, a, b, w)
+
+
+def _ref_dup_mass(docs, w):
+    """Brute force: count positions covered by a sliding w-gram occurring
+    at >= 2 (doc, off) locations."""
+    from collections import defaultdict
+
+    occs = defaultdict(list)
+    for doc_id, text in docs:
+        words = text.split(" ")
+        for off in range(len(words) - w + 1):
+            occs[" ".join(words[off : off + w])].append((doc_id, off))
+    covered = defaultdict(set)
+    for gram, ps in occs.items():
+        if len(ps) >= 2:
+            for doc_id, off in ps:
+                covered[doc_id].update(range(off, off + w))
+    return {d: len(s) for d, s in covered.items()}
+
+
+CORPUS = [
+    (1, "a b c d e f g h i j"),                      # exactly one window
+    (2, "a b c d e f g h i j"),                      # full duplicate of 1
+    (3, "x a b c d e f g h i j y z w v u t s r q"),  # contains 1 as substring
+    (4, "p q r s t u v w x y z " * 3),               # self-repetition
+    (5, "one two three four five six seven eight"),  # < W words: never dup
+    (6, "m n o p q r s t u v w x"),                  # overlaps doc 4's tail?
+    (7, ""),                                          # empty text
+]
+
+
+@pytest.mark.parametrize("n_parts", [1, 5])
+def test_dup_mass_matches_bruteforce(spark, n_parts):
+    """End-to-end vs the brute-force reference, at 1 partition (all work in
+    one suffix array) AND 5 partitions (cross-batch reconciliation through
+    the gram-key shuffle must give the identical answer)."""
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string").repartition(n_parts)
+    got = {
+        r["doc_id"]: r["dup_words"]
+        for r in duplicated_token_mass(df, window=SA_WINDOW).collect()
+    }
+    assert got == _ref_dup_mass(CORPUS, SA_WINDOW)
+    # sanity on the fixture itself: full-dup docs are fully covered
+    assert got[1] == 10 and got[2] == 10
+    assert 3 in got and 4 in got and 5 not in got and 7 not in got
+
+
+def test_dup_mass_small_window_interval_union(spark):
+    """Window W=3 with overlapping duplicated spans: the running-max
+    interval union must not double-count overlapping windows."""
+    corpus = [
+        (1, "a b c d e f"),
+        (2, "z a b c d q a b c d"),  # 'a b c d' dup + self-repeat
+        (3, "b c d e f g"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r["dup_words"] for r in duplicated_token_mass(df, window=3).collect()}
+    assert got == _ref_dup_mass(corpus, 3)
