@@ -15,6 +15,7 @@ from pdf_extraction_spark.operators import (  # noqa: F401
     sampling,
     sarray,
     scrub,
+    semdedup,
     similarity,
     skew,
     textstats,
@@ -48,7 +49,7 @@ _PRIORITY = [
 def all_queries():
     out = {}
     for mod in (relational, dedup, similarity, textstats, multimodal, asof, nested, skew,
-                sampling, scrub, eventstats, embed, corpus, sarray):
+                sampling, scrub, eventstats, embed, corpus, sarray, semdedup):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair
