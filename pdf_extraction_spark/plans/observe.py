@@ -77,6 +77,41 @@ _SUMMARY_KEYS = {
 }
 
 
+OP_METRICS_SCHEMA = (
+    "run_id string, stage string, depth int, node string, rows_out bigint, "
+    "files_read bigint, shuffle_bytes_written bigint, "
+    "shuffle_records_written bigint, spill_bytes bigint, peak_memory bigint"
+)
+
+
+def op_metrics_rows(df, run_id: str, stage: str) -> List[Dict[str, Any]]:
+    """Executed-plan metrics flattened to ``op_metrics`` table rows — the
+    operator-grain twin of the reference's per-job stats rows
+    (app/db/batch_jobs.py:127-183). Call AFTER an action on ``df`` (the
+    pipeline executes its per-run summary aggregation via collect() for
+    exactly this reason — a write goes through its own QueryExecution and
+    leaves the DataFrame's plan metrics at zero). Absent metrics stay NULL
+    (e.g. a Scan node has no shuffle columns), so per-node alert queries
+    can distinguish 'not applicable' from 'zero'."""
+    rows: List[Dict[str, Any]] = []
+    for depth, name, mets in execution_metrics(df):
+        rows.append(
+            {
+                "run_id": run_id,
+                "stage": stage,
+                "depth": depth,
+                "node": name,
+                "rows_out": mets.get("numOutputRows"),
+                "files_read": mets.get("numFiles"),
+                "shuffle_bytes_written": mets.get("shuffleBytesWritten"),
+                "shuffle_records_written": mets.get("shuffleRecordsWritten"),
+                "spill_bytes": mets.get("spillSize"),
+                "peak_memory": mets.get("peakMemory"),
+            }
+        )
+    return rows
+
+
 def metrics_summary(df) -> Dict[str, int]:
     """The alertable numbers: scan volume, shuffle volume, spill, peak
     memory — summed (peak: max) over matching nodes of the executed plan."""

@@ -266,7 +266,20 @@ def _write_metrics(io: TableIO, run_id: str, elapsed_s: float,
         .select("run_id", "route", "n_turns", "n_ok", "n_partial", "n_failed",
                 "avg_quality", "p95_extract_ms", "throughput_turns_per_sec")
     )
-    io.write(metrics, "metrics", mode="append")
+    # collect (route-grain, metadata-sized) instead of writing the lazy
+    # aggregate: ONE execution both yields the metrics rows and populates
+    # the executed plan, whose per-operator numbers (rows scanned, shuffle
+    # bytes, spill, peak memory) are appended as the op_metrics table —
+    # the operator-grain stats the reference keeps per batch job
+    # (app/db/batch_jobs.py:127-183). A write would run its own
+    # QueryExecution and leave these at zero.
+    from pdf_extraction_spark.plans.observe import OP_METRICS_SCHEMA, op_metrics_rows
+
+    rows = metrics.collect()
+    io.write(io.spark.createDataFrame(rows, metrics.schema), "metrics", mode="append")
+    op_rows = op_metrics_rows(metrics, run_id, stage="run_metrics")
+    io.write(io.spark.createDataFrame(op_rows, OP_METRICS_SCHEMA),
+             "op_metrics", mode="append")
 
 
 def read_extracted(spark: SparkSession, out_root: str) -> DataFrame:

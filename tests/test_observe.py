@@ -50,3 +50,44 @@ def test_pushdown_visible_in_scan_metrics(spark):
     filter_rows = [m.get("numOutputRows") for _d, n, m in execution_metrics(df)
                    if n == "Filter"]
     assert filter_rows and filter_rows[-1] == want
+
+
+def test_pipeline_persists_op_metrics_table(spark, tmp_path):
+    """run_extraction writes a per-run op_metrics table (operator-grain
+    executed-plan stats) and a second run APPENDS its own rows; the
+    alertable fields are populated on the node kinds that own them."""
+    from pdf_extraction_spark import fixtures
+    from pdf_extraction_spark.plans.pipeline import run_extraction
+    from pdf_extraction_spark.sources.tables import TableIO
+
+    root = str(tmp_path / "w")
+    df = spark.createDataFrame(fixtures.transcripts_pandas(n_convs=12))
+    run_extraction(spark, df, root, run_id="rA", n_buckets=4)
+    io = TableIO(spark, root)
+    om = io.read("op_metrics").toPandas()
+    assert set(om["run_id"]) == {"rA"}
+    assert (om["stage"] == "run_metrics").all()
+
+    def check_run(sub):
+        scans = sub[sub["node"].str.startswith("Scan")]
+        assert len(scans) and scans["rows_out"].notna().all()
+        assert scans["rows_out"].sum() > 0 and scans["files_read"].sum() > 0
+        exch = sub[sub["node"] == "Exchange"]
+        assert len(exch) and exch["shuffle_bytes_written"].notna().all()
+        assert exch["shuffle_bytes_written"].sum() > 0
+        aggs = sub[sub["node"].str.contains("Aggregate")]
+        assert len(aggs) and aggs["spill_bytes"].notna().all()  # 0 is fine, NULL is not
+        # peak_memory exists only on node kinds that track it (HashAggregate,
+        # Sort — this plan's percentile agg is ObjectHashAggregate, which
+        # does not); the contract is "never silently zero": absent == NULL
+
+    check_run(om)
+
+    # a second run over the same warehouse appends its own rows
+    run_extraction(spark, df, root, run_id="rB", n_buckets=4)
+    om2 = io.read("op_metrics").toPandas()
+    assert set(om2["run_id"]) == {"rA", "rB"}
+    check_run(om2[om2["run_id"] == "rB"])
+    # a pure resume no-op (same run_id, nothing to do) appends nothing
+    run_extraction(spark, df, root, run_id="rB", n_buckets=4)
+    assert len(io.read("op_metrics").toPandas()) == len(om2)
