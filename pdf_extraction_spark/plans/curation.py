@@ -53,11 +53,27 @@ def curate_corpus(
     out_root: Optional[str] = None,
     min_quality: float = MIN_QUALITY,
     max_chunk_dup: float = 0.8,
+    stage_timings: Optional[dict] = None,
 ) -> dict:
     """Run the curation chain over extraction output; returns per-stage
     stats. When ``out_root`` is given the curated corpus is written there
     (table ``curated``, partitioned by split) along with a one-row-per-
-    stage ``curation_stats`` table."""
+    stage ``curation_stats`` table. ``stage_timings`` (optional) receives
+    per-stage wall seconds — the stage boundaries are real materialization
+    points (each stage ends in a localCheckpoint + count), so the laps
+    measure actual work, not lazy-plan assembly. Used by
+    docs/curation_stress.py for the composed-chain scaling evidence."""
+    import time as _time
+
+    _t = _time.monotonic()
+
+    def _lap(name: str) -> None:
+        nonlocal _t
+        now = _time.monotonic()
+        if stage_timings is not None:
+            stage_timings[name] = round(now - _t, 3)
+        _t = now
+
     docs = extracted.select(
         F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
         "conv_id", "turn_idx", "extracted_text", "quality_score", "status",
@@ -71,6 +87,7 @@ def curate_corpus(
     ).collect()[0]
     n_input, n_gated = int(counts["n_in"]), int(counts["n_ok"] or 0)
     gated = docs.filter(passes)
+    _lap("quality_gate")
 
     # 2. exact dedup: md5 keep-first (min doc_id wins — deterministic).
     # localCheckpoint: `exact` feeds the near-dup corpus, the anti-join,
@@ -82,6 +99,7 @@ def curate_corpus(
         eager=True
     )
     n_exact = exact.count()
+    _lap("exact_dedup")
 
     # 3. near-dup dedup over the survivors: verified pairs → components →
     #    keep each cluster's min-id member. Pairs are checkpointed once
@@ -94,6 +112,7 @@ def curate_corpus(
     dropped = clusters.filter(F.col("doc_id") != F.col("keeper")).select("doc_id")
     neardup = exact.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_neardup = neardup.count()
+    _lap("neardup_dedup")
 
     # 3b. chunk-repetition filter (Lee et al. 2022 exact-substring form):
     # a doc that survived document-grain dedup can still be MOSTLY chunks
@@ -109,6 +128,7 @@ def curate_corpus(
     # new subtree and feeds both this count and the downstream redaction
     derep = neardup.join(too_dup, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_derep = derep.count()
+    _lap("chunk_derep")
 
     # 4. PII redaction — same codegen mask as the oracled redact_pii query
     redacted = derep.select(
@@ -147,6 +167,7 @@ def curate_corpus(
     mix = {r["split"]: int(r["n"]) for r in stat_rows}
     n_pii = sum(int(r["n_pii"] or 0) for r in stat_rows)
     n_packs = {r["split"]: int(r["n_packs"]) for r in stat_rows}
+    _lap("redact_split_stats")
 
     stats = {
         "n_input": n_input,
@@ -171,4 +192,5 @@ def curate_corpus(
             spark.createDataFrame(stage_rows, "stage string, n_docs bigint"),
             "curation_stats", mode="overwrite",
         )
+        _lap("write")
     return stats
