@@ -77,6 +77,12 @@ def main() -> None:
     from pdf_extraction_spark.session import build_session
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # single-JVM local mode: driver heap IS the executor heap. The default
+    # 8g fits the oracle/test workloads; at 1M docs the LSH verify stage's
+    # runtime-sized AQE broadcasts plus the stage checkpoints need the heap
+    # a real 32-core executor would have (first attempt died building a
+    # ~1 GB broadcast into 8g).
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = build_session(app_name="curation_stress", master=f"local[{cpus}]",
                           shuffle_partitions=4 * cpus)
     out: dict = {"cpus": cpus, "sizes": {}}

@@ -26,10 +26,13 @@ Spark plan (one Arrow stage + one keyed shuffle + one window):
    occurrence list). Within-batch repeats — the dominant kind in
    boilerplate-heavy corpora — are compressed to a single row here, and
    batch-local string equality is exact (no hashing involved).
-2. groupBy gram_key: global count = Σ local counts; keep grams with
-   count ≥ 2; explode their occurrence lists. Cross-batch equality rides
-   the 128-bit md5 of the raw gram string (collision odds ~2⁻⁶⁴ at 10¹²
-   distinct grams — and md5 is what the DuckDB oracle can reproduce).
+2. groupBy gram_key WITHOUT payloads: global count = Σ local counts; the
+   dup-key set then joins BACK to the class rows and only those explode
+   their occurrence lists — no row ever holds more than one batch's
+   occurrences of one gram, so a boilerplate line repeated 10⁹ times
+   cannot concentrate into one unbounded array. Cross-batch equality
+   rides the 128-bit md5 of the raw gram string (collision odds ~2⁻⁶⁴ at
+   10¹² distinct grams — and md5 is what the DuckDB oracle reproduces).
 3. Interval-union per document via ONE window (same-length intervals
    sorted by offset: covered_new = (off+W) − max(off, prev_max_end),
    clamped at 0) — exact duplicated-token mass, no position explosion.
@@ -38,10 +41,11 @@ Scale notes (100 TB): the shuffle carries one row per distinct gram per
 batch (~key + count + one packed struct per occurrence), not one row per
 corpus position with an L-token string — the naive sliding-gram explode
 ships ~W× the corpus text. Hot grams (a boilerplate line repeated 10⁹
-times) compress to one row per batch BEFORE the shuffle, so the groupBy
-sees at most n_batches rows per gram; the flatten(collect_list) on the
-reduce side is bounded by the true occurrence count of duplicated grams —
-the quantity any exact algorithm must materialize to mark positions. AQE
+times) compress to one row per batch BEFORE the shuffle, so the count
+groupBy sees at most n_batches rows per gram, and the dup-key join-back
+explodes positions at per-batch grain — total exploded volume is the true
+occurrence count of duplicated grams (the quantity any exact algorithm
+must materialize to mark positions), never concentrated in one row. AQE
 skew handling covers residual imbalance. The coverage window shuffles only
 duplicated positions.
 
@@ -191,21 +195,36 @@ def exact_substring_starts(
     sequence occurs at ≥ 2 corpus positions. One Arrow suffix-array stage +
     one groupBy on the gram key."""
 
+    from pyspark.storagelevel import StorageLevel
+
+    from pdf_extraction_spark.cache import track
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield _batch_gram_classes(pdf[id_col].values, pdf[text_col].values, window)
 
-    classes = docs.select(id_col, text_col).mapInPandas(gen, _CLASS_SCHEMA)
-    dup = (
-        classes.groupBy("gram_key")
-        .agg(
-            F.sum("n_local").alias("n_global"),
-            F.flatten(F.collect_list("occs")).alias("occs"),
-        )
-        .filter(F.col("n_global") >= 2)
+    # classes feeds the global count AND the dup join-back — persist, or the
+    # suffix-array stage runs twice
+    classes = track(
+        docs.select(id_col, text_col)
+        .mapInPandas(gen, _CLASS_SCHEMA)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return dup.select(F.explode("occs").alias("oc")).select(
-        F.col("oc.d").alias(id_col), F.col("oc.o").alias("off")
+    # count first WITHOUT the occurrence payloads, then join the dup-key set
+    # back and explode per-batch occ lists. A collect_list over occs would
+    # concentrate EVERY occurrence of a hot gram (a boilerplate line
+    # repeated 10⁹ times) into one unbounded row; this shape keeps every
+    # row ≤ one batch's occurrences and lets AQE spread hot keys.
+    dup_keys = (
+        classes.groupBy("gram_key")
+        .agg(F.sum("n_local").alias("n_global"))
+        .filter(F.col("n_global") >= 2)
+        .select("gram_key")
+    )
+    return (
+        classes.join(dup_keys, "gram_key")
+        .select(F.explode("occs").alias("oc"))
+        .select(F.col("oc.d").alias(id_col), F.col("oc.o").alias("off"))
     )
 
 
