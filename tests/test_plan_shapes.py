@@ -95,7 +95,7 @@ def test_no_per_row_python_udfs_in_codebase():
             offenders.append(str(p))
         if ".collect()" in src and p.name not in (
             "checkpoint.py", "similarity.py", "review_queue.py", "dedup.py",
-            "maintenance.py", "curation.py",
+            "maintenance.py", "curation.py", "semdedup.py", "pipeline.py",
         ):
             # allowed: checkpoint.py (≤ n_buckets ledger rows),
             # similarity.py (k×dim IVF centroid matrix + 1 query vector),
@@ -104,7 +104,12 @@ def test_no_per_row_python_udfs_in_codebase():
             # star-contraction round — convergence detection),
             # maintenance.py (_table_checksum: one (count, xor) row for
             # compaction content verification),
-            # curation.py (per-stage scalar counts + the ≤3-row split mix) —
+            # curation.py (per-stage scalar counts + the ≤3-row split mix),
+            # semdedup.py (SEM_K×dim centroid rows — same class as the IVF
+            # centroid matrix),
+            # pipeline.py (_write_metrics: route-grain metrics rows,
+            # collected so ONE execution feeds both the metrics write and
+            # the op_metrics executed-plan capture) —
             # all metadata-sized driver state, never data rows
             offenders.append(f"{p}: collect outside ledger/centroids")
     assert not offenders, offenders
