@@ -209,24 +209,27 @@ def main() -> None:
         calib = calib_single_core()
         ext["calib_1core_turns_per_sec"] = calib
         ext["parallel_speedup"] = round(ext["turns_per_sec"] / calib, 2)
-        # health = healthy calib AND (healthy speedup OR the absolute
-        # throughput target met). Speedup and calib are ANTI-correlated on
-        # this box: when the single core runs fast (calib ~2000) the
-        # parallel run hits constant overheads first and speedup lands
-        # ~4-5 at full throughput, so speedup alone would reject the
-        # box's best measurements.
+        # health = absolute throughput target met (a number at/above target
+        # is a good measurement no matter what the separate single-core
+        # probe read in ITS window), OR healthy calib + healthy speedup.
+        # Speedup and calib are ANTI-correlated on this box: a fast single
+        # core (calib ~2000) pushes the parallel run into constant
+        # overheads and speedup lands ~4-5 at full throughput, so speedup
+        # alone would reject the box's best measurements.
         ext["healthy"] = bool(
-            calib >= min_calib
-            and (ext["parallel_speedup"] >= min_speedup or ext["turns_per_sec"] >= min_tps)
+            ext["turns_per_sec"] >= min_tps
+            or (calib >= min_calib and ext["parallel_speedup"] >= min_speedup)
         )
         attempts.append({"calib": calib, "speedup": ext["parallel_speedup"],
                          "turns_per_sec": ext["turns_per_sec"]})
-        # record the BEST attempt (highest throughput), never the latest —
-        # a degrading box must not overwrite a good measurement
+        # a HEALTHY attempt is recorded outright; otherwise keep the best
+        # unhealthy one (highest throughput) — a degrading box must not
+        # overwrite a good measurement with a later worse one
+        if ext["healthy"]:
+            best = ext
+            break
         if best is None or ext["turns_per_sec"] > best["turns_per_sec"]:
             best = ext
-        if ext["healthy"]:
-            break
         print(f"# attempt {attempt}: calib {calib} / speedup {ext['parallel_speedup']} "
               f"/ tps {ext['turns_per_sec']} below gate; re-measuring", file=sys.stderr)
         _wait_for_quiet_box()
@@ -267,6 +270,9 @@ def main() -> None:
 
     out["queries"] = timings
     out["value"] = round(total, 3)
+    # second yardstick AFTER the query sweep: lets a reader detect a
+    # mid-run slow phase that hit the query timings but not extraction
+    out["calib_after_queries_turns_per_sec"] = calib_single_core(800)
     print(json.dumps(out))
     spark.stop()
 

@@ -82,6 +82,53 @@ def test_neardup_bucketed_never_goes_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_suffix_array_plan_shape(spark):
+    """One suffix-array Arrow stage, CACHED across its two consumers (the
+    gram-count aggregate and the dup-key join-back) — the plan must show
+    the MapInPandas subtree under an InMemoryRelation, consumed twice, with
+    no cartesian join and no unbounded collect_list aggregate."""
+    from pdf_extraction_spark.cache import release_caches
+    from pdf_extraction_spark.operators.sarray import q_suffix_array_dedup
+
+    plan = plan_of(q_suffix_array_dedup(spark, SF))
+    release_caches()
+    assert plan.count("InMemoryTableScan") >= 2  # both consumers hit the cache
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "collect_list" not in plan  # hot grams must not concentrate in one row
+
+
+def test_semantic_dedup_join_is_cluster_keyed(spark):
+    """The SemDeDup comparison join must be keyed on the cluster id —
+    never an all-pairs product — with Arrow-vectorized assignment/cosine."""
+    from pdf_extraction_spark.cache import release_caches
+    from pdf_extraction_spark.operators.semdedup import (
+        SEM_K,
+        _nearest_centroid_q,
+        valid_embeddings,
+    )
+    from pdf_extraction_spark.operators.similarity import quantized_cosine
+    from pdf_extraction_spark.sources.tables import load_testdata as T
+
+    emb = valid_embeddings(T(spark, SF, "embeddings"))
+    cents = [[float(x) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(SEM_K).select("embedding").collect()]
+    assigned = emb.withColumn("sem_cluster", _nearest_centroid_q(cents)(F.col("embedding")))
+    a = assigned.select("sem_cluster", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = assigned.select(F.col("sem_cluster").alias("sc_b"), F.col("vec_id").alias("vb"),
+                        F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, (F.col("sem_cluster") == F.col("sc_b")) & (F.col("va") < F.col("vb")))
+        .select("va", "vb", F.round(quantized_cosine(F.col("ea"), F.col("eb")), 6).alias("cos"))
+    )
+    plan = plan_of(pairs)
+    release_caches()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    # the equi-key must reach the join condition (hash-partitionable)
+    assert "sem_cluster" in plan
+
+
 def test_no_per_row_python_udfs_in_codebase():
     """CI guard (SURVEY.md §7): hot-path code never registers row-at-a-time
     Python UDFs; Python enters only via mapInPandas/pandas_udf."""
