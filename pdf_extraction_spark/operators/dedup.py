@@ -217,15 +217,42 @@ def build_minhash_index(docs: DataFrame):
     """The persistent LSH index state an incremental pipeline maintains
     between runs: banded signature rows + gram sets. At scale both live as
     tables bucketed by (seed, mh) / doc_id, appended per batch — signatures
-    are computed ONCE per document, ever."""
+    are computed ONCE per document, ever.
+
+    PERSIST ADJUDICATION (bench r4, sf0.1, warm best-of-3): the index
+    feeds four consumers inside incremental_minhash_pairs (union width
+    agg, capped_all join side, both gram sides of the jaccard verify).
+    Three shapes were measured:
+      (a) no persist (r3 form, the ADVICE "4× recompute"): the recomputed
+          subtrees are COLUMN-PRUNED — the band consumers re-run
+          shingle+agg without carrying gram arrays, the verify sides
+          re-run only the vectorized shingling map pass (~0.2 s/pass);
+      (b) persist the WIDE joined signature frame: drags gram arrays into
+          every consumer's cache rows (ser/deser per pass) — 9.6 s,
+          SLOWER than (a);
+      (c) persist ONLY the narrow (doc_id, seed, mh) band rows, coalesced
+          to core count, and let grams recompute: ~6 s — the recorded
+          shape. The min-agg shuffle runs once; the cheap map pass twice.
+    At deployment scale the tradeoff disappears: both live as bucketed
+    TABLES and no in-query recompute exists at all (see q_incremental_lsh
+    BENCH NOTE)."""
     from pyspark.storagelevel import StorageLevel
 
-    # the index signatures feed FOUR consumers inside incremental_minhash_pairs
-    # (union width agg, capped_all join side, and both gram sides of the
-    # jaccard verify) — persist, or the shingle/minhash subtree re-runs per
-    # consumer (the same 25s → 3s class of win minhash_lsh_pairs documents)
-    sigs = track(minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK))
-    return _band_rows(sigs), sigs.select("doc_id", "grams")
+    grams = docs.select("doc_id", grams_udf(F.col("text")).alias("grams"))
+    exploded = grams.select("doc_id", F.explode("grams").alias("g"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"mh{s}")
+        for s in range(N_HASHES)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(*aggs)
+    # coalesce to core count: downstream these rows are UNIONED with the
+    # new batch's bands, and a union of two shuffle-partitioned relations
+    # scans n+m partitions — at 128 shuffle partitions that is ~256
+    # near-empty tasks of pure scheduling overhead per consumer. Narrow
+    # (no extra shuffle).
+    dp = docs.sparkSession.sparkContext.defaultParallelism
+    bands = track(_band_rows(sigs).coalesce(dp).persist(StorageLevel.MEMORY_AND_DISK))
+    return bands, grams
 
 
 def incremental_minhash_pairs(
@@ -243,7 +270,8 @@ def incremental_minhash_pairs(
     can't do is retract old-old pairs whose bucket a new batch pushes over
     the cap — the standard append-only-index tradeoff, documented here.
     Per batch this shuffles O(|new| + matched buckets), not O(|corpus|)."""
-    new_sigs = track(minhash_signatures(new_docs).persist())
+    dp = new_docs.sparkSession.sparkContext.defaultParallelism
+    new_sigs = track(minhash_signatures(new_docs).coalesce(dp).persist())
     new_bands = _band_rows(new_sigs)
     all_bands = index_bands.unionByName(new_bands)
     hot = (
