@@ -9,6 +9,7 @@ Spark's types.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -842,3 +843,94 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC
 
 
 QUERIES["tpch_q5_regional_revenue"] = (q_tpch_q5_regional_revenue, _SQL_TPCH_Q5)
+
+
+# --------------------------------------------------------------------------
+# F3 (completed r4) — upload filename sanitization, the full reference chain
+# (app/services/file_validator.py:84-142) over deterministic adversarial
+# filenames synthesized from the documents table: plain nested paths,
+# path-traversal prefixes, a Windows reserved device name, a Unicode
+# homograph (NFKD case), the empty name, and a >255-char name. The chain
+# runs in ONE Arrow-vectorized stage (map-only). The oracle replicates
+# every ASCII rule in SQL; the single non-ASCII case has no DuckDB NFKD,
+# so its constant expected output ('cafe__report.pdf' — derived by hand
+# from the reference algorithm: é → e + U+0301, both the combining mark
+# and the space then hit the [^a-zA-Z0-9._-] whitelist) is pinned in the
+# oracle's final CASE.
+
+_SANITIZE_UDF = None
+
+
+def _sanitize_udf(col):
+    global _SANITIZE_UDF
+    if _SANITIZE_UDF is None:
+        from pdf_extraction_spark.core.canonical import sanitize_filename
+
+        @F.pandas_udf("string")
+        def sani(names: pd.Series) -> pd.Series:
+            return names.map(sanitize_filename)
+
+        _SANITIZE_UDF = sani
+    return _SANITIZE_UDF(col)
+
+
+def q_sanitize_filenames(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    case = F.col("doc_id") % 6
+    raw = (
+        F.when(case == 0, F.concat(F.lit("reports/"), F.col("source"), F.lit("_"),
+                                   F.col("doc_id").cast("string"), F.lit("\t"), F.lit(".PDF")))
+        .when(case == 1, F.concat(F.lit("../../etc/"), F.col("source"), F.lit("-"),
+                                  F.col("doc_id").cast("string"), F.lit(".pdf")))
+        .when(case == 2, F.lit("CON"))
+        .when(case == 3, F.lit("café report.pdf"))
+        .when(case == 4, F.lit(""))
+        .otherwise(F.concat(F.lit("x" * 280), F.lit(".pdf")))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            case.cast("int").alias("case_id"),
+            _sanitize_udf(raw).alias("sanitized"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_RESERVED_SQL = ", ".join(
+    f"'{n}'"
+    for n in sorted({"con", "prn", "aux", "nul"}
+                    | {f"com{i}" for i in range(1, 10)}
+                    | {f"lpt{i}" for i in range(1, 10)})
+)
+
+_SQL_SANITIZE = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 6 AS case_id,
+    CASE doc_id % 6
+      WHEN 0 THEN 'reports/' || source || '_' || CAST(doc_id AS VARCHAR) || chr(9) || '.PDF'
+      WHEN 1 THEN '../../etc/' || source || '-' || CAST(doc_id AS VARCHAR) || '.pdf'
+      WHEN 2 THEN 'CON'
+      WHEN 3 THEN 'café report.pdf'
+      WHEN 4 THEN ''
+      ELSE repeat('x', 280) || '.pdf'
+    END AS raw
+  FROM documents WHERE doc_id < 120
+),
+b1 AS (SELECT *, regexp_extract(raw, '([^/]*)$', 1) AS f1 FROM base),
+b2 AS (SELECT *, replace(replace(f1, chr(9), ''), chr(127), '') AS f2 FROM b1),
+b3 AS (SELECT *, replace(replace(replace(f2, '..', ''), '/', ''), '\\', '') AS f3 FROM b2),
+b4 AS (SELECT *, regexp_replace(f3, '[^a-zA-Z0-9._-]', '_', 'g') AS f4 FROM b3),
+b5 AS (SELECT *, CASE WHEN f4 = '' OR f4 = '.pdf' THEN 'upload.pdf' ELSE f4 END AS f5 FROM b4),
+b6 AS (SELECT *, CASE WHEN lower(regexp_replace(f5, '\\.[^.]*$', '')) IN ({_RESERVED_SQL})
+                      THEN 'upload.pdf' ELSE f5 END AS f6 FROM b5),
+b7 AS (SELECT *, CASE WHEN lower(f6) LIKE '%.pdf' THEN f6 ELSE f6 || '.pdf' END AS f7 FROM b6),
+b8 AS (SELECT *, CASE WHEN length(f7) > 255
+                      THEN substr(f7, 1, least(250, length(f7) - 4)) || '.pdf'
+                      ELSE f7 END AS f8 FROM b7)
+SELECT doc_id, CAST(case_id AS INTEGER) AS case_id,
+       CASE WHEN case_id = 3 THEN 'cafe__report.pdf' ELSE f8 END AS sanitized
+FROM b8 ORDER BY doc_id
+"""
+
+QUERIES["sanitize_filenames"] = (q_sanitize_filenames, _SQL_SANITIZE)

@@ -177,3 +177,24 @@ def test_spans_contract():
         assert sp["span_idx"] == i
         assert set(sp) == {"span_idx", "kind", "text", "page", "bbox"}
         assert set(sp["bbox"]) == {"x1", "y1", "x2", "y2"}
+
+
+def test_sanitize_filename_reference_boundaries():
+    """F3 chain boundaries (reference app/services/file_validator.py:84-142):
+    traversal, control chars, reserved device names, NFKD homographs,
+    empty, overlong, extension forcing."""
+    from pdf_extraction_spark.core.canonical import sanitize_filename as s
+
+    assert s("report.pdf") == "report.pdf"
+    assert s("dir/sub/report.PDF") == "report.PDF"          # basename, case-kept ext
+    assert s("../../etc/passwd.pdf") == "passwd.pdf"        # traversal dies at basename
+    assert s("a..b.pdf") == "ab.pdf"                        # embedded '..' removed
+    assert s("a\tb c.pdf") == "ab_c.pdf"                    # control stripped, space -> _
+    assert s("CON") == "upload.pdf" == s("lpt9.pdf")        # reserved device names
+    assert s("Con.PDF") == "upload.pdf"                     # case-insensitive stem
+    assert s("console.pdf") == "console.pdf"                # 'con' prefix alone is fine
+    assert s("café.pdf") == "cafe_.pdf"                     # NFKD -> combining mark -> _
+    assert s("") == "upload.pdf" == s(".pdf")
+    assert s("notes.txt") == "notes.txt.pdf"                # extension forced
+    long = s("x" * 300 + ".pdf")
+    assert long == "x" * 250 + ".pdf" and len(long) == 254  # stem cap
