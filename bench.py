@@ -62,6 +62,7 @@ HEADLINE = (
     # r4 additions
     "suffix_array_dedup",
     "semantic_dedup_stats",
+    "top_duplicated_grams",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales

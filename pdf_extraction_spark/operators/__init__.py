@@ -41,7 +41,7 @@ _PRIORITY = [
     "ann_ivf_topk",
     # new in r4
     "suffix_array_dedup", "semantic_dedup", "semantic_dedup_stats",
-    "sanitize_filenames",
+    "sanitize_filenames", "top_duplicated_grams",
     # driver-checked last in r2 only; rotate back under the cap
     "exam_flatten", "salted_join_user_stats", "stratified_sample",
 ]

@@ -187,14 +187,14 @@ def _batch_gram_classes(doc_ids, texts, w: int) -> pd.DataFrame:
 _CLASS_SCHEMA = "gram_key string, n_local int, occs array<struct<d: bigint, o: int>>"
 
 
-def exact_substring_starts(
+def gram_classes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     window: int = SA_WINDOW,
 ) -> DataFrame:
-    """(doc_id, off) start offsets of every w-token window whose token
-    sequence occurs at ≥ 2 corpus positions. One Arrow suffix-array stage +
-    one groupBy on the gram key."""
-
+    """Cached distinct-gram class rows (gram_key, n_local, occs) from the
+    partition-local suffix-array stage — the shared base of the dedup-mass
+    query and the boilerplate report. Persisted: every caller consumes it
+    at least twice (count + join-back)."""
     from pyspark.storagelevel import StorageLevel
 
     from pdf_extraction_spark.cache import track
@@ -203,13 +203,21 @@ def exact_substring_starts(
         for pdf in batches:
             yield _batch_gram_classes(pdf[id_col].values, pdf[text_col].values, window)
 
-    # classes feeds the global count AND the dup join-back — persist, or the
-    # suffix-array stage runs twice
-    classes = track(
+    return track(
         docs.select(id_col, text_col)
         .mapInPandas(gen, _CLASS_SCHEMA)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def exact_substring_starts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: int = SA_WINDOW,
+) -> DataFrame:
+    """(doc_id, off) start offsets of every w-token window whose token
+    sequence occurs at ≥ 2 corpus positions. One Arrow suffix-array stage +
+    one groupBy on the gram key."""
+    classes = gram_classes(docs, id_col, text_col, window)
     # count first WITHOUT the occurrence payloads, then join the dup-key set
     # back and explode per-batch occ lists. A collect_list over occs would
     # concentrate EVERY occurrence of a hot gram (a boilerplate line
@@ -301,6 +309,61 @@ GROUP BY w.source ORDER BY w.source
 """
 
 
+TOP_GRAMS = 10
+
+
+def q_top_duplicated_grams(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate report: the TOP_GRAMS most-repeated 10-token windows
+    corpus-wide, with occurrence counts and the reconstructed text — the
+    headline artifact of an exact-substring dedup analysis (Lee et al.
+    2022 report exactly these). The gram text is NOT shipped through the
+    shuffle: counting rides the md5 keys; only the winning keys join back
+    to one minimal (doc, offset) occurrence each, and the text is
+    re-sliced from the source document — at 100 TB the report costs the
+    count groupBy plus a TOP_GRAMS-row join, never a corpus of gram
+    strings in flight. Ties in count break on gram_key (deterministic)."""
+    docs = T(spark, sf, "documents")
+    classes = gram_classes(docs)
+    top = (
+        classes.groupBy("gram_key")
+        .agg(F.sum("n_local").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("gram_key"))
+        .limit(TOP_GRAMS)
+    )
+    first_occ = (
+        classes.join(F.broadcast(top.select("gram_key")), "gram_key")
+        .select("gram_key", F.explode("occs").alias("oc"))
+        .groupBy("gram_key")
+        .agg(F.min(F.struct(F.col("oc.d").alias("d"), F.col("oc.o").alias("o"))).alias("fo"))
+    )
+    gram_text = F.array_join(
+        F.slice(F.split(F.col("text"), " "), F.col("fo.o") + 1, SA_WINDOW), " "
+    )
+    return (
+        top.join(first_occ, "gram_key")
+        .join(docs.select(F.col("doc_id").alias("_d"), "text"),
+              F.col("fo.d") == F.col("_d"))
+        .select("gram_key", "n_occurrences", gram_text.alias("gram"))
+        .orderBy(F.desc("n_occurrences"), F.asc("gram_key"))
+    )
+
+
+_SQL_TOP_GRAMS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (
+  SELECT doc_id, s.i AS off,
+         array_to_string(words[s.i + 1 : s.i + {SA_WINDOW}], ' ') AS gram
+  FROM w, LATERAL unnest(generate_series(0, len(words) - {SA_WINDOW})) AS s(i)
+),
+g AS (SELECT gram, md5(gram) AS gram_key, count(*) AS n_occurrences
+      FROM p GROUP BY gram HAVING count(*) >= 2)
+SELECT gram_key, n_occurrences, gram
+FROM g ORDER BY n_occurrences DESC, gram_key LIMIT {TOP_GRAMS}
+"""
+
+
 QUERIES = {
     "suffix_array_dedup": (q_suffix_array_dedup, _SQL_SA_DEDUP),
+    "top_duplicated_grams": (q_top_duplicated_grams, _SQL_TOP_GRAMS),
 }
