@@ -36,3 +36,9 @@ def test_queries_and_oracles_consistent():
     # md5 oracle in r3; IVF top-k runs exhaustive-probe since r4, making it
     # bit-identical to the brute-force SQL)
     assert set(qs) - set(os_) == set(), set(qs) - set(os_)
+    # the driver-priority list must only name real queries (a typo here
+    # would silently drop an entry out of the driver's 50-query window)
+    from pdf_extraction_spark.operators import _PRIORITY
+
+    assert set(_PRIORITY) <= set(qs), set(_PRIORITY) - set(qs)
+    assert list(qs)[: len(_PRIORITY)] == _PRIORITY  # priority enumerates first
