@@ -195,7 +195,7 @@ def main() -> None:
     min_speedup = float(os.environ.get("BENCH_MIN_SPEEDUP", str(min(8.0, 0.25 * cpus))))
     min_tps = float(os.environ.get("BENCH_MIN_TPS", "7500"))
     max_attempts = 1 if os.environ.get("BENCH_NO_GATE") else int(
-        os.environ.get("BENCH_HEALTH_RETRIES", "3")
+        os.environ.get("BENCH_HEALTH_RETRIES", "2")
     )  # pinned scaling legs (BENCH_NO_GATE) bound their own speedup — no gate
     attempts = []
     best = None
