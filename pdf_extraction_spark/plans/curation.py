@@ -54,6 +54,7 @@ def curate_corpus(
     min_quality: float = MIN_QUALITY,
     max_chunk_dup: float = 0.8,
     stage_timings: Optional[dict] = None,
+    derep: str = "chunk",
 ) -> dict:
     """Run the curation chain over extraction output; returns per-stage
     stats. When ``out_root`` is given the curated corpus is written there
@@ -114,15 +115,36 @@ def curate_corpus(
     n_neardup = neardup.count()
     _lap("neardup_dedup")
 
-    # 3b. chunk-repetition filter (Lee et al. 2022 exact-substring form):
-    # a doc that survived document-grain dedup can still be MOSTLY chunks
-    # already seen earlier in the corpus (template spam, boilerplate
-    # mosaics). Drop docs whose word-10-gram duplicate mass exceeds the
-    # threshold; the keep-first window means the FIRST occurrence of any
-    # repeated content always survives.
-    fracs = chunk_dup_fractions(
-        neardup.select("doc_id", F.col("extracted_text").alias("text"))
-    )
+    # 3b. repetition filter: a doc that survived document-grain dedup can
+    # still be MOSTLY content already seen elsewhere in the corpus
+    # (template spam, boilerplate mosaics). Two selectable forms:
+    #   derep="chunk" (default): word-10-gram NON-OVERLAPPING keep-first
+    #     (the cheap aligned approximation; first occurrence of any
+    #     repeated content always survives);
+    #   derep="exact": the full Lee et al. 2022 ExactSubstr mass from the
+    #     suffix-array operator — positions covered by ANY repeated
+    #     ≥10-token substring, sliding. Per doc exact_frac ≥ chunk_frac
+    #     (every duplicated aligned chunk is a duplicated sliding window),
+    #     so "exact" drops a superset at the same threshold — pinned in
+    #     tests/test_curation.py.
+    corpus_txt = neardup.select("doc_id", F.col("extracted_text").alias("text"))
+    if derep == "chunk":
+        fracs = chunk_dup_fractions(corpus_txt)
+    elif derep == "exact":
+        from pdf_extraction_spark.operators.sarray import duplicated_token_mass
+
+        n_words = corpus_txt.select(
+            "doc_id", F.size(F.split("text", " ")).alias("_nw")
+        )
+        fracs = (
+            n_words.join(duplicated_token_mass(corpus_txt), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(F.coalesce("dup_words", F.lit(0)) / F.col("_nw"), 6).alias("dup_frac"),
+            )
+        )
+    else:
+        raise ValueError(f"derep must be 'chunk' or 'exact', got {derep!r}")
     too_dup = fracs.filter(F.col("dup_frac") > max_chunk_dup).select("doc_id")
     # checkpoint like the sibling stages: the chunk window is the heaviest
     # new subtree and feeds both this count and the downstream redaction

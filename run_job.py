@@ -42,6 +42,12 @@ def main(argv=None) -> int:
              "<output>/curated (+ curation_stats)",
     )
     ap.add_argument(
+        "--derep", choices=("chunk", "exact"), default="chunk",
+        help="repetition filter for --curate: 'chunk' = aligned word-10-gram "
+             "keep-first (cheap approximation), 'exact' = full suffix-array "
+             "exact-substring coverage (Lee et al. 2022)",
+    )
+    ap.add_argument(
         "--compact", action="store_true",
         help="after extraction, binpack the extracted table's bucket "
              "partitions (checksum-verified; resumed/wave-committed runs "
@@ -78,7 +84,8 @@ def main(argv=None) -> int:
         from pdf_extraction_spark.sources.tables import TableIO
 
         extracted = TableIO(spark, args.output).read("extracted")
-        summary["curation"] = curate_corpus(spark, extracted, out_root=args.output)
+        summary["curation"] = curate_corpus(spark, extracted, out_root=args.output,
+                                            derep=args.derep)
 
     print(json.dumps(summary))
     spark.stop()

@@ -76,3 +76,29 @@ def test_curation_is_deterministic(spark, extracted, tmp_path):
         ).collect()[0]
 
     assert checksum(str(tmp_path / "a")) == checksum(str(tmp_path / "b"))
+
+
+def test_exact_derep_mode_drops_superset(spark, extracted, tmp_path):
+    """derep='exact' (suffix-array sliding coverage) vs derep='chunk'
+    (aligned 10-gram keep-first): per doc exact_frac >= chunk_frac —
+    every duplicated aligned chunk is a duplicated sliding window — so at
+    the same threshold the exact mode drops a SUPERSET of documents, and
+    with a low threshold it has observable extra work on the whale-heavy
+    fixture corpus."""
+    chunk = curate_corpus(spark, extracted, max_chunk_dup=0.3)
+    exact = curate_corpus(spark, extracted, max_chunk_dup=0.3, derep="exact")
+    # identical upstream stages
+    for k in ("n_input", "n_quality_gated", "n_after_exact_dedup", "n_after_neardup"):
+        assert chunk[k] == exact[k]
+    assert exact["n_after_chunk_derep"] <= chunk["n_after_chunk_derep"]
+    assert exact["n_after_chunk_derep"] > 0
+    # determinism holds for the exact mode too
+    again = curate_corpus(spark, extracted, max_chunk_dup=0.3, derep="exact")
+    assert exact == again
+
+
+def test_derep_mode_validated(spark, extracted):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="derep"):
+        curate_corpus(spark, extracted, derep="bogus")
