@@ -129,6 +129,38 @@ def test_semantic_dedup_join_is_cluster_keyed(spark):
     assert "sem_cluster" in plan
 
 
+# queries whose plan INTENTIONALLY contains a BroadcastNestedLoopJoin:
+# either a ONE-ROW broadcast side (the query vector / its norm) cross-
+# joined onto a scan (map-only), or single-row AGGREGATES crossed into one
+# summary row (1×1×1 — funnel). Everything else in the driver-priority
+# window must stay keyed.
+_ONE_ROW_BROADCAST_CROSS = {
+    "ann_ivf_topk", "text_embed_neardup", "assemble_training_records",
+    "funnel_view_click_purchase",
+}
+
+
+def test_priority_queries_have_no_accidental_cross_join(spark):
+    """Every query in the driver's priority window (the first-50 sweep
+    sample) must plan WITHOUT CartesianProduct, and without
+    BroadcastNestedLoopJoin except the documented one-row-broadcast
+    cases. Catches a lost equi-key (e.g. a condition rewritten into a
+    non-equi predicate) before the driver or a deployment does."""
+    from pdf_extraction_spark.cache import release_caches
+    from pdf_extraction_spark.operators import _PRIORITY, all_queries
+
+    qs = all_queries()
+    offenders = {}
+    for name in _PRIORITY:
+        plan = plan_of(qs[name][0](spark, SF))
+        release_caches()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _ONE_ROW_BROADCAST_CROSS:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
+
+
 def test_no_per_row_python_udfs_in_codebase():
     """CI guard (SURVEY.md §7): hot-path code never registers row-at-a-time
     Python UDFs; Python enters only via mapInPandas/pandas_udf."""
