@@ -194,9 +194,10 @@ def main() -> None:
     min_calib = float(os.environ.get("BENCH_MIN_CALIB", "1000"))
     min_speedup = float(os.environ.get("BENCH_MIN_SPEEDUP", str(min(8.0, 0.25 * cpus))))
     min_tps = float(os.environ.get("BENCH_MIN_TPS", "7500"))
-    max_attempts = 1 if os.environ.get("BENCH_NO_GATE") else int(
-        os.environ.get("BENCH_HEALTH_RETRIES", "2")
-    )  # pinned scaling legs (BENCH_NO_GATE) bound their own speedup — no gate
+    max_attempts = 1 if os.environ.get("BENCH_NO_GATE") else max(
+        1, int(os.environ.get("BENCH_HEALTH_RETRIES", "2"))
+    )  # pinned scaling legs (BENCH_NO_GATE) bound their own speedup — no gate;
+    # max(1, ...): zero attempts would leave nothing recorded at all
     attempts = []
     best = None
     for attempt in range(max_attempts):
@@ -231,9 +232,10 @@ def main() -> None:
             break
         if best is None or ext["turns_per_sec"] > best["turns_per_sec"]:
             best = ext
-        print(f"# attempt {attempt}: calib {calib} / speedup {ext['parallel_speedup']} "
-              f"/ tps {ext['turns_per_sec']} below gate; re-measuring", file=sys.stderr)
-        _wait_for_quiet_box()
+        if attempt < max_attempts - 1:  # no cooldown after the final attempt
+            print(f"# attempt {attempt}: calib {calib} / speedup {ext['parallel_speedup']} "
+                  f"/ tps {ext['turns_per_sec']} below gate; re-measuring", file=sys.stderr)
+            _wait_for_quiet_box()
     ext = best
     ext["health_attempts"] = attempts
     out["extraction"] = ext

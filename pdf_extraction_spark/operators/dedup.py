@@ -128,17 +128,25 @@ def grams_udf(text_col, shingle: int = SHINGLE):
     return udf(text_col)
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle: int = SHINGLE) -> DataFrame:
-    """One row per doc: grams + mh0..mh{k-1} — computed in a single groupBy
-    (k min-aggregates over the exploded shingles; no k× row duplication)."""
-    grams = docs.select("doc_id", grams_udf(F.col("text"), shingle).alias("grams"))
+def _min_sigs(grams: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) narrow signature frame from (doc_id, grams):
+    ONE groupBy of k min-aggregates over the exploded shingles (no k× row
+    duplication). The single definition of the seed/hash format — both the
+    batch path and the incremental index derive from it, so they cannot
+    desynchronize (the delta==batch contract in tests/test_dedup_cap.py
+    rides this)."""
     exploded = grams.select("doc_id", F.explode("grams").alias("g"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
-    sigs = exploded.groupBy("doc_id").agg(*aggs)
-    return grams.join(sigs, "doc_id", "inner")
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle: int = SHINGLE) -> DataFrame:
+    """One row per doc: grams + mh0..mh{k-1}."""
+    grams = docs.select("doc_id", grams_udf(F.col("text"), shingle).alias("grams"))
+    return grams.join(_min_sigs(grams, n_hashes), "doc_id", "inner")
 
 
 def _band_rows(sigs: DataFrame) -> DataFrame:
@@ -239,12 +247,7 @@ def build_minhash_index(docs: DataFrame):
     from pyspark.storagelevel import StorageLevel
 
     grams = docs.select("doc_id", grams_udf(F.col("text")).alias("grams"))
-    exploded = grams.select("doc_id", F.explode("grams").alias("g"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"mh{s}")
-        for s in range(N_HASHES)
-    ]
-    sigs = exploded.groupBy("doc_id").agg(*aggs)
+    sigs = _min_sigs(grams)
     # coalesce to core count: downstream these rows are UNIONED with the
     # new batch's bands, and a union of two shuffle-partitioned relations
     # scans n+m partitions — at 128 shuffle partitions that is ~256

@@ -119,7 +119,15 @@ def semantic_members(spark: SparkSession, sf: str):
     docs = T(spark, sf, "documents").select(
         F.col("doc_id").alias("vec_id"), "n_chars"
     )
-    j = labels.join(docs, "vec_id")
+    # LEFT join + n_chars -1 sentinel: a vector whose document row is
+    # missing (doc dropped upstream of embedding refresh) must still get a
+    # dedup decision — an inner join would silently erase its whole group
+    # (no keeper, no drops: duplicate retention). Doc-less members rank
+    # LAST for keeper selection; the SQL oracle uses the same
+    # LEFT JOIN + coalesce(-1).
+    j = labels.join(docs, "vec_id", "left").withColumn(
+        "n_chars", F.coalesce("n_chars", F.lit(-1))
+    )
     rk = F.row_number().over(
         W.partitionBy("group_id").orderBy(F.desc("n_chars"), F.asc("vec_id"))
     )
@@ -227,8 +235,8 @@ best AS (
   SELECT group_id, vec_id AS best_id FROM (
     SELECT l.group_id, l.vec_id,
            row_number() OVER (PARTITION BY l.group_id
-                              ORDER BY d.n_chars DESC, l.vec_id) AS rk
-    FROM labels l JOIN documents d ON d.doc_id = l.vec_id
+                              ORDER BY coalesce(d.n_chars, -1) DESC, l.vec_id) AS rk
+    FROM labels l LEFT JOIN documents d ON d.doc_id = l.vec_id
   ) WHERE rk = 1
 )
 """

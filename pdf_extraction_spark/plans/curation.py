@@ -148,12 +148,12 @@ def curate_corpus(
     too_dup = fracs.filter(F.col("dup_frac") > max_chunk_dup).select("doc_id")
     # checkpoint like the sibling stages: the chunk window is the heaviest
     # new subtree and feeds both this count and the downstream redaction
-    derep = neardup.join(too_dup, "doc_id", "left_anti").localCheckpoint(eager=True)
-    n_derep = derep.count()
+    dereped = neardup.join(too_dup, "doc_id", "left_anti").localCheckpoint(eager=True)
+    n_derep = dereped.count()
     _lap("chunk_derep")
 
     # 4. PII redaction — same codegen mask as the oracled redact_pii query
-    redacted = derep.select(
+    redacted = dereped.select(
         "doc_id", "conv_id", "turn_idx", "quality_score", "text_md5",
         F.regexp_replace(
             F.regexp_replace("extracted_text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"

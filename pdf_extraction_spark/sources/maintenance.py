@@ -210,14 +210,19 @@ def write_bucketed(
     tables go through saveAsTable into ``database`` (created at
     ``location`` if given — keeps warehouse state inside the caller's
     scratch dir, not the repo cwd)."""
-    # identifiers/paths reach SQL text: validate the database name against a
-    # safe pattern and escape quotes in the location (a path containing `'`
-    # would otherwise break — or inject into — the CREATE DATABASE statement)
+    # identifiers/paths reach SQL text: VALIDATE both against safe patterns
+    # instead of escaping — Spark's lexer treats backslash as an escape, so
+    # quote-doubling alone is bypassable (a path ending in `\` swallows the
+    # closing quote; `\'` sequences re-open the literal and inject). A
+    # warehouse path legitimately contains only the whitelisted characters;
+    # anything else is refused loudly.
     import re
 
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", database):
         raise ValueError(f"unsafe database identifier: {database!r}")
-    loc = " LOCATION '{}'".format(location.replace("'", "''")) if location else ""
+    if location is not None and not re.fullmatch(r"[A-Za-z0-9_\-./ :]+", location):
+        raise ValueError(f"unsafe database location: {location!r}")
+    loc = f" LOCATION '{location}'" if location else ""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`{loc}")
     (
         df.write.format("parquet")
