@@ -104,6 +104,53 @@ def main() -> None:
         return p.groupBy("source").agg(F.max("pack_id")).count()
     out["pack_sources"] = timed("pack_sequences", pack)
 
+    # 4. suffix-array exact-substring dedup at corpus scale (the full
+    # Lee et al. 2022 form the chunk stage approximates). Besides the wall
+    # time, report the SHUFFLE-VOLUME COMPRESSION the module docstring
+    # argues: gram-class rows (one per distinct gram per Arrow batch —
+    # what actually crosses the shuffle) vs total sliding-window positions
+    # (what the naive per-position explode would ship, ~W× the corpus
+    # text). The 1,000-doc template families make the family-prefix grams
+    # hot: each compresses to ~one row per batch before the shuffle.
+    def sarray():
+        from pdf_extraction_spark.cache import release_caches
+        from pdf_extraction_spark.operators.sarray import (
+            SA_WINDOW,
+            _coverage_mass,
+            gram_classes,
+        )
+
+        sel = docs.select("doc_id", "text")
+        classes = gram_classes(sel)  # persisted: count + join-back share it
+        n_class_rows = classes.count()
+        dup_keys = (
+            classes.groupBy("gram_key")
+            .agg(F.sum("n_local").alias("n_global"))
+            .filter(F.col("n_global") >= 2)
+            .select("gram_key")
+        )
+        starts = (
+            classes.join(dup_keys, "gram_key")
+            .select(F.explode(F.arrays_zip("occ_d", "occ_o")).alias("oc"))
+            .select(F.col("oc.occ_d").alias("doc_id"), F.col("oc.occ_o").alias("off"))
+        )
+        mass = _coverage_mass(starts, "doc_id", SA_WINDOW).agg(
+            F.count("*").alias("docs_with_dup"),
+            F.sum("dup_words").alias("dup_words"),
+        ).collect()[0]
+        n_positions = sel.select(
+            F.sum(F.greatest(F.size(F.split("text", " ")) - (SA_WINDOW - 1), F.lit(0)))
+        ).collect()[0][0]
+        release_caches()
+        return n_class_rows, int(n_positions), int(mass["docs_with_dup"]), int(mass["dup_words"])
+
+    cls_rows, n_pos, docs_dup, dup_words = timed("suffix_array_dedup", sarray)
+    out["sa_gram_class_rows"] = cls_rows
+    out["sa_window_positions"] = n_pos
+    out["sa_shuffle_compression"] = round(n_pos / cls_rows, 2)
+    out["sa_docs_with_dup"] = docs_dup
+    out["sa_dup_words"] = dup_words
+
     out["dup_mass"] = round(out["n_dup_chunks"] / out["n_chunks"], 4)
     print(json.dumps(out))
     spark.stop()

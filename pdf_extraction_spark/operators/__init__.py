@@ -30,20 +30,19 @@ from pdf_extraction_spark.operators import (  # noqa: F401
 # regardless of position is still verified by the in-repo mirror
 # (tests/test_oracle_queries.py, all entries vs DuckDB at sf0.001).
 _PRIORITY = [
-    # never driver-checked through r3 (VERDICT r3 item 1)
-    "redact_pii", "contamination_check", "session_window_stats",
-    "sketch_accuracy", "funnel_view_click_purchase", "topk_per_group",
-    "value_histogram", "value_percentiles", "range_join_windows",
-    "text_embed_neardup", "assemble_training_records", "scd2_user_segments",
-    "pack_sequences", "tfidf_top_terms", "chunk_dedup_stats",
-    "source_mix_sample", "adaptive_length_filter",
-    # oracle upgraded r4 (rows-only → full exhaustive-probe oracle)
-    "ann_ivf_topk",
-    # new in r4
-    "suffix_array_dedup", "semantic_dedup", "semantic_dedup_stats",
-    "sanitize_filenames", "top_duplicated_grams",
-    # driver-checked last in r2 only; rotate back under the cap
-    "exam_flatten", "salted_join_user_stats", "stratified_sample",
+    # new in r5 — first driver check
+    "incremental_exact_substring",
+    # last driver-green in r03, rotated out of the 50-entry r04 window by
+    # the r4 reorder (VERDICT r4 item 1: no query goes two rounds without a
+    # driver row) — these 25 lead; the r04-greened families fill the tail
+    "dedup_minhash_lsh", "dedup_incremental_lsh", "dedup_simhash_buckets",
+    "dedup_clusters", "dedup_cluster_best", "ann_cosine_topk",
+    "ann_lsh_buckets", "embedding_neardup_pairs", "neardup_bucketed_pairs",
+    "ann_ivf_recall", "ann_lsh_topk", "lang_id", "text_quality",
+    "token_count", "doc_fingerprint", "sessionize", "dedup_consecutive",
+    "vocab_stats", "repetition_stats", "multimodal_features",
+    "multimodal_transform", "unpivot_event_matrix", "asof_join",
+    "asof_join_broadcast", "pivot_event_types",
 ]
 
 

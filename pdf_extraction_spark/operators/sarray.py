@@ -122,76 +122,100 @@ def _adjacent_window_equal(seq: np.ndarray, sa: np.ndarray, w: int) -> np.ndarra
 
 def _batch_gram_classes(doc_ids, texts, w: int) -> pd.DataFrame:
     """One batch of documents → one row per DISTINCT w-token window class:
-    (gram_key=md5 hex of the gram string, n_local, occs=[{d, o}, ...]).
-    Documents are concatenated with per-doc unique sentinel ids, so no
-    window crosses a document boundary and batch-local class equality is
-    exact token-sequence equality (suffix-array order, no hashing)."""
-    vocab: dict = {}
-    ids: list = []
-    tokens: list = []  # raw token strings aligned with ids (None = sentinel)
-    pos_doc = []  # per position: index into doc_ids
-    pos_off = []  # per position: 0-based word offset within its doc
-    pos_valid = []  # per position: window of w tokens fits inside the doc
-    for di, t in enumerate(texts):
-        words = t.split(" ") if isinstance(t, str) else []
-        ln = len(words)
-        for off, wd in enumerate(words):
-            ids.append(vocab.setdefault(wd, len(vocab)))
-            tokens.append(wd)
-            pos_doc.append(di)
-            pos_off.append(off)
-            pos_valid.append(off + w <= ln)
-        # unique sentinel per doc: never equal to any vocab id or other
-        # sentinel, so cross-doc windows form singleton classes
-        ids.append(-(di + 1))
-        tokens.append(None)
-        pos_doc.append(di)
-        pos_off.append(ln)
-        pos_valid.append(False)
-    seq = np.asarray(ids, dtype=np.int64)
-    out_key, out_n, out_occs = [], [], []
-    if len(seq) >= w:
+    (gram_key=md5 hex of the gram string, n_local, occ_d=[doc...],
+    occ_o=[off...] parallel occurrence arrays). Documents are concatenated
+    with per-doc unique sentinel ids, so no window crosses a document
+    boundary and batch-local class equality is exact token-sequence
+    equality (suffix-array order, no hashing).
+
+    Vectorization contract (the module's 'one Arrow stage' claim): every
+    O(corpus positions) step is numpy — position/offset/validity arrays by
+    repeat/arange, token ids by np.unique, the suffix array and LCP ≥ w
+    test as before, occurrence lists as numpy slice VIEWS at run grain.
+    Interpreted Python touches only O(docs) (the split loop) and
+    O(distinct kept grams) (the w-token join + one md5 per distinct gram —
+    the md5 is irreducible: the oracle replays it per gram string)."""
+    from itertools import chain
+
+    # O(docs) Python: split only. "" splits to [""] (one empty word) —
+    # preserved exactly; None/NaN → no words.
+    words_list = [t.split(" ") if isinstance(t, str) else [] for t in texts]
+    n_docs = len(words_list)
+    lens = np.fromiter((len(ws) for ws in words_list), dtype=np.int64, count=n_docs)
+    total = int(lens.sum()) + n_docs  # + one sentinel per doc
+    # flat token array (object; None marks sentinels), one C-level pass
+    tok_arr = np.fromiter(
+        chain.from_iterable(chain(ws, (None,)) for ws in words_list),
+        dtype=object, count=total,
+    )
+    seg = lens + 1  # tokens + sentinel per doc
+    pos_doc = np.repeat(np.arange(n_docs, dtype=np.int64), seg)
+    pos_off = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(seg) - seg, seg
+    )
+    lens_rep = np.repeat(lens, seg)
+    # sentinel positions have off == len → off + w > len, so one comparison
+    # covers both the tail-truncation and the sentinel cases
+    valid = (pos_off + w) <= lens_rep
+    sent = pos_off == lens_rep
+    # token ids: np.unique ranks (any injective mapping yields the same
+    # equal-prefix grouping); per-doc unique NEGATIVE sentinels keep
+    # cross-doc windows in singleton classes
+    seq = np.empty(total, dtype=np.int64)
+    if total > n_docs:
+        seq[~sent] = np.unique(tok_arr[~sent], return_inverse=True)[1]
+    seq[sent] = -(np.arange(n_docs, dtype=np.int64) + 1)
+
+    out_key: list = []
+    n_local = np.empty(0, dtype=np.int64)
+    occ_d: list = []
+    occ_o: list = []
+    if total >= w:
         sa = suffix_array(seq)
         eq = _adjacent_window_equal(seq, sa, w)
-        breaks = np.concatenate(([True], ~eq))
-        starts = np.flatnonzero(breaks)
+        starts = np.flatnonzero(np.concatenate(([True], ~eq)))
         ends = np.append(starts[1:], len(sa))
-        valid = np.asarray(pos_valid, dtype=bool)
-        for s, e in zip(starts, ends):
-            p0 = int(sa[s])
-            # multi-member runs are valid by construction (a sentinel or a
-            # truncated tail can never share a full w-window); singleton
-            # runs need the explicit validity check
-            if e - s == 1 and not valid[p0]:
-                continue
-            gram = " ".join(tokens[p0 : p0 + w])
-            out_key.append(hashlib.md5(gram.encode("utf-8")).hexdigest())
-            out_n.append(int(e - s))
-            out_occs.append(
-                [
-                    {"d": int(doc_ids[pos_doc[p]]), "o": int(pos_off[p])}
-                    for p in sa[s:e]
-                ]
-            )
+        p0 = sa[starts]
+        # multi-member runs are valid by construction (a sentinel or a
+        # truncated tail can never share a full w-window); singleton runs
+        # need the explicit validity check
+        keep = (ends - starts > 1) | valid[p0]
+        ks, ke, kp0 = starts[keep], ends[keep], p0[keep]
+        n_local = ke - ks
+        if len(kp0):
+            # gram strings: one (runs × w) object fancy-index, then the
+            # irreducible per-distinct-gram join + md5
+            win_tok = tok_arr[kp0[:, None] + np.arange(w)]
+            out_key = [
+                hashlib.md5(" ".join(row).encode("utf-8")).hexdigest()
+                for row in win_tok.tolist()
+            ]
+            # occurrences in suffix-array order, sliced per run as VIEWS —
+            # no per-occurrence Python objects ever materialize
+            sa_doc = np.asarray(doc_ids, dtype=np.int64)[pos_doc[sa]]
+            sa_off = pos_off[sa].astype(np.int32)
+            occ_d = [sa_doc[s:e] for s, e in zip(ks, ke)]
+            occ_o = [sa_off[s:e] for s, e in zip(ks, ke)]
     # explicit dtypes: an empty batch otherwise defaults every column to
-    # float64, which Arrow cannot convert to string / list<struct>
+    # float64, which Arrow cannot convert to string / list
     return pd.DataFrame(
         {
             "gram_key": pd.Series(out_key, dtype="object"),
-            "n_local": pd.Series(out_n, dtype="int64"),
-            "occs": pd.Series(out_occs, dtype="object"),
+            "n_local": pd.Series(n_local, dtype="int64"),
+            "occ_d": pd.Series(occ_d, dtype="object"),
+            "occ_o": pd.Series(occ_o, dtype="object"),
         }
     )
 
 
-_CLASS_SCHEMA = "gram_key string, n_local int, occs array<struct<d: bigint, o: int>>"
+_CLASS_SCHEMA = "gram_key string, n_local int, occ_d array<bigint>, occ_o array<int>"
 
 
 def gram_classes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     window: int = SA_WINDOW,
 ) -> DataFrame:
-    """Cached distinct-gram class rows (gram_key, n_local, occs) from the
+    """Cached distinct-gram class rows (gram_key, n_local, occ_d, occ_o) from the
     partition-local suffix-array stage — the shared base of the dedup-mass
     query and the boilerplate report. Persisted: every caller consumes it
     at least twice (count + join-back)."""
@@ -219,7 +243,7 @@ def exact_substring_starts(
     one groupBy on the gram key."""
     classes = gram_classes(docs, id_col, text_col, window)
     # count first WITHOUT the occurrence payloads, then join the dup-key set
-    # back and explode per-batch occ lists. A collect_list over occs would
+    # back and explode per-batch occ arrays. A collect_list over them would
     # concentrate EVERY occurrence of a hot gram (a boilerplate line
     # repeated 10⁹ times) into one unbounded row; this shape keeps every
     # row ≤ one batch's occurrences and lets AQE spread hot keys.
@@ -231,20 +255,17 @@ def exact_substring_starts(
     )
     return (
         classes.join(dup_keys, "gram_key")
-        .select(F.explode("occs").alias("oc"))
-        .select(F.col("oc.d").alias(id_col), F.col("oc.o").alias("off"))
+        .select(F.explode(F.arrays_zip("occ_d", "occ_o")).alias("oc"))
+        .select(F.col("oc.occ_d").alias(id_col), F.col("oc.occ_o").alias("off"))
     )
 
 
-def duplicated_token_mass(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    window: int = SA_WINDOW,
-) -> DataFrame:
-    """Per-document exact duplicated-token mass: (id, dup_words) = size of
-    the union of all duplicated ≥ W-token spans. Same-length intervals
-    sorted by start have monotone ends, so the union is one running-max
-    window: gain = (off+W) − max(off, prev_max_end), clamped at 0."""
-    starts = exact_substring_starts(docs, id_col, text_col, window)
+def _coverage_mass(starts: DataFrame, id_col: str, window: int) -> DataFrame:
+    """(id, dup_words) interval-union mass from duplicated-window start
+    offsets. Same-length intervals sorted by start have monotone ends, so
+    the union is one running-max window: gain = (off+W) − max(off,
+    prev_max_end), clamped at 0. Shared by the batch and the incremental
+    pipelines so the coverage semantics cannot drift between them."""
     win = W.partitionBy(id_col).orderBy("off").rowsBetween(W.unboundedPreceding, -1)
     prev_end = F.max(F.col("off") + window).over(win)
     gain = (F.col("off") + window) - F.greatest(
@@ -254,6 +275,17 @@ def duplicated_token_mass(
         starts.withColumn("gain", F.greatest(gain, F.lit(0)))
         .groupBy(id_col)
         .agg(F.sum("gain").alias("dup_words"))
+    )
+
+
+def duplicated_token_mass(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: int = SA_WINDOW,
+) -> DataFrame:
+    """Per-document exact duplicated-token mass: (id, dup_words) = size of
+    the union of all duplicated ≥ W-token spans."""
+    return _coverage_mass(
+        exact_substring_starts(docs, id_col, text_col, window), id_col, window
     )
 
 
@@ -309,6 +341,122 @@ GROUP BY w.source ORDER BY w.source
 """
 
 
+# --------------------------------------------------------------------------
+# INCREMENTAL exact-substring dedup — the `incremental_minhash_pairs`
+# pattern applied to the gram-class rows: the persistent state an
+# append-only pipeline maintains between batches is the per-gram global
+# count index (gram_key, n_old) — one row per distinct gram ever seen,
+# pre-aggregated, bucketed by gram_key at deployment scale. A new batch
+# pays ONLY its own suffix-array stage + one keyed join of its distinct
+# gram keys against the index: per-batch shuffle O(|new batch grams| +
+# matched index rows), never O(|corpus|). The one thing the delta can't do
+# is UPDATE old documents whose content a new batch re-duplicates (their
+# mass grows); that retraction-free contract is the same append-only-index
+# tradeoff `incremental_minhash_pairs` documents — reconciled by a
+# periodic batch recompute, while the delta keeps admission decisions for
+# NEW data exact and cheap.
+
+
+def build_gram_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    window: int = SA_WINDOW,
+) -> DataFrame:
+    """(gram_key, n_old) persistent gram-count index over an already-
+    ingested corpus: the suffix-array Arrow stage + ONE count groupBy —
+    md5 keys only through the shuffle, occurrence payloads dropped.
+    Append-mergeable: a batch appends its own (gram_key, n) rows and
+    compaction re-sums — counts are associative."""
+    return (
+        gram_classes(docs, id_col, text_col, window)
+        .groupBy("gram_key")
+        .agg(F.sum("n_local").alias("n_old"))
+    )
+
+
+def incremental_duplicated_mass(
+    index_counts: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = SA_WINDOW,
+) -> DataFrame:
+    """Exact duplicated-token mass for the NEW batch against (old corpus ∪
+    new batch), from the persisted index alone: a new-doc window is
+    duplicated iff its gram's global count n_new + n_old ≥ 2 — which
+    covers within-batch repeats (n_new ≥ 2) and old-corpus matches
+    (n_old ≥ 1) exactly as the batch recompute would. Equality with the
+    batch form restricted to new docs is pinned in tests/test_sarray.py."""
+    new_classes = gram_classes(new_docs, id_col, text_col, window)
+    new_counts = new_classes.groupBy("gram_key").agg(F.sum("n_local").alias("n_new"))
+    # keyed lookup of the new batch's distinct grams against the index —
+    # the ONLY contact with old-corpus state; at scale both sides are
+    # bucketed by gram_key so this join prunes to matched buckets
+    dup_keys = (
+        new_counts.join(index_counts, "gram_key", "left")
+        .filter(F.col("n_new") + F.coalesce("n_old", F.lit(0)) >= 2)
+        .select("gram_key")
+    )
+    starts = (
+        new_classes.join(dup_keys, "gram_key")
+        .select(F.explode(F.arrays_zip("occ_d", "occ_o")).alias("oc"))
+        .select(F.col("oc.occ_d").alias(id_col), F.col("oc.occ_o").alias("off"))
+    )
+    return _coverage_mass(starts, id_col, window)
+
+
+def q_incremental_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver query: docs with doc_id % 10 == 0 are 'the new batch', the
+    rest the already-indexed corpus (the `dedup_incremental_lsh` split).
+    Per new doc: total words and exact duplicated-token mass vs the full
+    corpus, computed through the incremental index path. Oracle = the
+    batch sliding-window SQL over ALL documents, restricted to new docs.
+
+    BENCH NOTE: like `dedup_incremental_lsh`, the recorded time includes
+    building the old-corpus index in-query (needed for a self-contained
+    oracle); a deployment reads the persisted (gram_key, n_old) table and
+    pays only the new-batch stage + keyed join."""
+    docs = T(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    index = build_gram_index(old)
+    mass = incremental_duplicated_mass(index, new)
+    return (
+        new.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_words"))
+        .join(mass, "doc_id", "left")
+        .select(
+            "doc_id", "n_words",
+            F.coalesce("dup_words", F.lit(0)).cast("bigint").alias("dup_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_INCREMENTAL_SA = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+p AS (
+  SELECT doc_id, s.i AS off,
+         array_to_string(words[s.i + 1 : s.i + {SA_WINDOW}], ' ') AS gram
+  FROM w, LATERAL unnest(generate_series(0, len(words) - {SA_WINDOW})) AS s(i)
+),
+g AS (SELECT gram FROM p GROUP BY gram HAVING count(*) >= 2),
+d AS (SELECT p.doc_id, p.off FROM p JOIN g USING (gram) WHERE p.doc_id % 10 = 0),
+cov AS (
+  SELECT doc_id, off,
+         greatest(off + {SA_WINDOW} - greatest(off, coalesce(
+           max(off + {SA_WINDOW}) OVER (
+             PARTITION BY doc_id ORDER BY off
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), off)), 0) AS gain
+  FROM d
+),
+pd AS (SELECT doc_id, sum(gain) AS dup_words FROM cov GROUP BY doc_id)
+SELECT w.doc_id, CAST(len(w.words) AS INTEGER) AS n_words,
+       CAST(coalesce(pd.dup_words, 0) AS BIGINT) AS dup_words
+FROM w LEFT JOIN pd USING (doc_id)
+WHERE w.doc_id % 10 = 0
+ORDER BY w.doc_id
+"""
+
+
 TOP_GRAMS = 10
 
 
@@ -333,9 +481,9 @@ def q_top_duplicated_grams(spark: SparkSession, sf: str) -> DataFrame:
     )
     first_occ = (
         classes.join(F.broadcast(top.select("gram_key")), "gram_key")
-        .select("gram_key", F.explode("occs").alias("oc"))
+        .select("gram_key", F.explode(F.arrays_zip("occ_d", "occ_o")).alias("oc"))
         .groupBy("gram_key")
-        .agg(F.min(F.struct(F.col("oc.d").alias("d"), F.col("oc.o").alias("o"))).alias("fo"))
+        .agg(F.min(F.struct(F.col("oc.occ_d").alias("d"), F.col("oc.occ_o").alias("o"))).alias("fo"))
     )
     gram_text = F.array_join(
         F.slice(F.split(F.col("text"), " "), F.col("fo.o") + 1, SA_WINDOW), " "
@@ -366,4 +514,5 @@ FROM g ORDER BY n_occurrences DESC, gram_key LIMIT {TOP_GRAMS}
 QUERIES = {
     "suffix_array_dedup": (q_suffix_array_dedup, _SQL_SA_DEDUP),
     "top_duplicated_grams": (q_top_duplicated_grams, _SQL_TOP_GRAMS),
+    "incremental_exact_substring": (q_incremental_exact_substring, _SQL_INCREMENTAL_SA),
 }

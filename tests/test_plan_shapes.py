@@ -137,6 +137,12 @@ def test_semantic_dedup_join_is_cluster_keyed(spark):
 _ONE_ROW_BROADCAST_CROSS = {
     "ann_ivf_topk", "text_embed_neardup", "assemble_training_records",
     "funnel_view_click_purchase",
+    # r5 rotation brought these back under the guard: the two ANN queries
+    # broadcast the ONE-ROW query vector / its norm onto the scan
+    # (map-only); embedding_neardup_pairs is the documented all-pairs
+    # oracle-twin form whose scale path is neardup_bucketed_pairs
+    # (operators/similarity.py module docstring)
+    "ann_cosine_topk", "ann_ivf_recall", "embedding_neardup_pairs",
 }
 
 

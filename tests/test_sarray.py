@@ -92,6 +92,56 @@ def test_dup_mass_matches_bruteforce(spark, n_parts):
     assert 3 in got and 4 in got and 5 not in got and 7 not in got
 
 
+@pytest.mark.parametrize("n_parts", [1, 4])
+def test_incremental_mass_equals_batch(spark, n_parts):
+    """The delta==batch contract of the incremental index path: for every
+    split of the corpus into (old index, new batch), the incremental mass
+    of the new docs — computed from the (gram_key, n_old) index alone —
+    equals the batch recompute over old ∪ new restricted to new docs.
+    Exercised at two partitionings (the index and the new batch cross the
+    gram-key shuffle with different batch boundaries)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.sarray import (
+        build_gram_index,
+        incremental_duplicated_mass,
+    )
+
+    w = 3
+    corpus = [
+        (1, "a b c d e f"),
+        (2, "z a b c d q a b c d"),   # dup vs doc 1 + self-repeat
+        (3, "b c d e f g"),
+        (4, "n o p q r s"),           # unique in old corpus...
+        (10, "a b c d e f"),          # new: full dup of old doc 1
+        (11, "n o p q r s t"),        # new: re-duplicates old-unique doc 4
+        (12, "u v w u v w u v w"),    # new: within-batch self-repeat only
+        (13, "h i j k l m"),          # new: genuinely novel
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string").repartition(n_parts)
+    old = df.filter(F.col("doc_id") < 10)
+    new = df.filter(F.col("doc_id") >= 10)
+
+    index = build_gram_index(old, window=w)
+    inc = {
+        r["doc_id"]: r["dup_words"]
+        for r in incremental_duplicated_mass(index, new, window=w).collect()
+    }
+    batch = {
+        r["doc_id"]: r["dup_words"]
+        for r in duplicated_token_mass(df, window=w).collect()
+        if r["doc_id"] >= 10
+    }
+    assert inc == batch
+    # the fixture exercises all three duplication sources
+    ref = _ref_dup_mass(corpus, w)
+    assert inc == {d: m for d, m in ref.items() if d >= 10}
+    assert inc[10] == 6      # cross old-new duplicate
+    assert inc[11] >= w      # window shared with old-unique doc 4
+    assert inc[12] == 9      # within-batch self-repeat
+    assert 13 not in inc     # novel doc has zero mass (no row)
+
+
 def test_dup_mass_small_window_interval_union(spark):
     """Window W=3 with overlapping duplicated spans: the running-max
     interval union must not double-count overlapping windows."""
