@@ -63,6 +63,8 @@ HEADLINE = (
     "suffix_array_dedup",
     "semantic_dedup_stats",
     "top_duplicated_grams",
+    # r5 additions
+    "incremental_exact_substring",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales
@@ -241,6 +243,14 @@ def main() -> None:
     out["extraction"] = ext
     out["calib_1core_turns_per_sec"] = ext["calib_1core_turns_per_sec"]  # top-level
     # visibility: compare timings across rounds ONLY after normalizing by this
+    # UNSELECTED statistics beside the health-gate-selected number: the gate
+    # retries unhealthy attempts, which biases the selected throughput upward
+    # vs a single-shot measurement — cross-round comparisons can use the
+    # median over ALL attempts instead (every attempt is already recorded in
+    # health_attempts; this just lifts the summary to the top level)
+    all_tps = sorted(a["turns_per_sec"] for a in attempts)
+    out["extraction_tps_all_attempts"] = all_tps
+    out["extraction_tps_median"] = all_tps[len(all_tps) // 2]
 
     if extraction_only:
         out["metric"] = "extraction_turns_per_sec"
@@ -254,28 +264,60 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    timings: dict = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        # best-of-N with warm JVM but COLD caches per trial: the queries()
-        # wrapper releases tracked persists at each entry, so every trial
-        # pays the query's real per-invocation cost (through r2, trial 2
-        # silently reused trial 1's live cache — dedup_minhash_lsh's 1.2s
-        # was that artifact; its honest cold time is ~3.5s)
-        for _trial in range(QUERY_TRIALS):
-            t0 = time.monotonic()
-            _force(fn(spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
-        total += best
+
+    def run_sweep() -> tuple[dict, float]:
+        timings: dict = {}
+        total = 0.0
+        for name in HEADLINE:
+            fn = qs[name]
+            best = float("inf")
+            # best-of-N with warm JVM but COLD caches per trial: the queries()
+            # wrapper releases tracked persists at each entry, so every trial
+            # pays the query's real per-invocation cost (through r2, trial 2
+            # silently reused trial 1's live cache — dedup_minhash_lsh's 1.2s
+            # was that artifact; its honest cold time is ~3.5s)
+            for _trial in range(QUERY_TRIALS):
+                t0 = time.monotonic()
+                _force(fn(spark, sf_dir))
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 3)
+            total += best
+        return timings, total
+
+    # HEALTH-GATED sweep (round-4 verdict: BENCH_r04's sweep ran through a
+    # box slow-down — calib 1,736 before vs 1,170 after, −33% — making the
+    # per-query numbers internally incomparable and recording a spurious
+    # 7.1 s for dedup_incremental_lsh that a quiet box measured at 5.8 s).
+    # Calibrate BEFORE and AFTER the sweep; if they disagree by more than
+    # BENCH_SWEEP_DECAY the box changed speed mid-sweep — re-wait for a
+    # quiet box and redo the sweep once. Every attempt's calib pair is
+    # recorded so nothing is silently discarded.
+    max_decay = float(os.environ.get("BENCH_SWEEP_DECAY", "0.15"))
+    sweep_attempts = []
+    timings, total = {}, 0.0
+    for s_attempt in range(1 if os.environ.get("BENCH_NO_GATE") else 2):
+        calib_b = calib_single_core(800)
+        timings, total = run_sweep()
+        calib_a = calib_single_core(800)
+        steady = abs(calib_b - calib_a) / max(calib_b, calib_a) <= max_decay
+        sweep_attempts.append(
+            {"calib_before": calib_b, "calib_after": calib_a, "steady": steady,
+             "total_sec": round(total, 3)}
+        )
+        if steady:
+            break
+        print(f"# sweep attempt {s_attempt}: calib {calib_b} -> {calib_a} "
+              f"(>{max_decay:.0%} drift); re-measuring", file=sys.stderr)
+        _wait_for_quiet_box()
 
     out["queries"] = timings
     out["value"] = round(total, 3)
-    # second yardstick AFTER the query sweep: lets a reader detect a
-    # mid-run slow phase that hit the query timings but not extraction
-    out["calib_after_queries_turns_per_sec"] = calib_single_core(800)
+    out["query_sweep_attempts"] = sweep_attempts
+    out["queries_steady"] = sweep_attempts[-1]["steady"]
+    # yardsticks bracketing the RECORDED sweep: a reader normalizes
+    # per-query times by their mean before comparing across rounds
+    out["calib_before_queries_turns_per_sec"] = sweep_attempts[-1]["calib_before"]
+    out["calib_after_queries_turns_per_sec"] = sweep_attempts[-1]["calib_after"]
     print(json.dumps(out))
     spark.stop()
 

@@ -79,16 +79,35 @@ def _nearest_centroid_q(centroids):
     return assign
 
 
-def semantic_members(spark: SparkSession, sf: str):
+def semantic_members(spark: SparkSession, sf: str, centroids=None,
+                     embeddings: DataFrame | None = None,
+                     quality: DataFrame | None = None,
+                     tau: float = SEM_TAU):
     """Shared pipeline: returns (assigned, members) where assigned =
     (vec_id, sem_cluster) for every vector and members = (vec_id,
     sem_cluster, group_id, best_id) for every member of a non-singleton
-    semantic-duplicate group."""
+    semantic-duplicate group.
+
+    ``centroids`` (optional, k × dim) is the k ∝ n ESCALATION SEAM: the
+    oracle path uses the default first-SEM_K deterministic centroids
+    (bit-reproducible in SQL), while a large deployment passes
+    `similarity.ivf_train`-produced k-means centroids (k ~ n /
+    target_cluster_width, e.g. k=256+ — same one-matmul-per-batch
+    assignment UDF) so Σ|cluster|² stays bounded as the corpus grows —
+    demonstrated with measured pair volumes in
+    tests/test_semdedup.py::test_k_escalation_bounds_pair_volume.
+    ``embeddings`` (optional) overrides the sf-dir embeddings table with a
+    caller-provided (vec_id, embedding) frame — the curation chain feeds
+    feature-hashed text embeddings through this seam. ``quality``
+    (optional, (vec_id, n_chars)) overrides the keeper-quality source the
+    same way; ``tau`` the duplicate-cosine threshold."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = valid_embeddings(T(spark, sf, "embeddings"))
-    cent_rows = emb.orderBy("vec_id").limit(SEM_K).select("embedding").collect()  # k tiny rows
-    centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    emb = valid_embeddings(embeddings if embeddings is not None
+                           else T(spark, sf, "embeddings"))
+    if centroids is None:
+        cent_rows = emb.orderBy("vec_id").limit(SEM_K).select("embedding").collect()  # k tiny rows
+        centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
     # assigned feeds both self-join sides, the component join-back, and the
     # stats rollup — persist once
     assigned = track(
@@ -108,7 +127,7 @@ def semantic_members(spark: SparkSession, sf: str):
             "va", "vb",
             F.round(quantized_cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
         )
-        .filter(F.col("cos") >= SEM_TAU)
+        .filter(F.col("cos") >= tau)
         .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
         # the contraction loop re-reads the pair set every round
         .localCheckpoint(eager=True)
@@ -116,8 +135,9 @@ def semantic_members(spark: SparkSession, sf: str):
     labels = neardup_clusters(pairs).select(
         F.col("doc_id").alias("vec_id"), F.col("keeper").alias("group_id")
     )
-    docs = T(spark, sf, "documents").select(
-        F.col("doc_id").alias("vec_id"), "n_chars"
+    docs = (
+        quality if quality is not None
+        else T(spark, sf, "documents").select(F.col("doc_id").alias("vec_id"), "n_chars")
     )
     # LEFT join + n_chars -1 sentinel: a vector whose document row is
     # missing (doc dropped upstream of embedding refresh) must still get a

@@ -7,6 +7,11 @@ transcripts and a training corpus.
       → exact dedup         (md5 keep-first — C1 generalized corpus-wide)
       → near-dup dedup      (MinHash/LSH pairs → star-contraction clusters
                              → keep each cluster's canonical member)
+      → semantic dedup      (OPTIONAL, --semdedup: feature-hash embeddings
+                             → ivf_train k ∝ n centroids → SemDeDup
+                             within-cluster groups → keep the longest
+                             member — catches paraphrase-grade duplicates
+                             the token-overlap stages cannot)
       → chunk de-repetition (drop docs whose word-10-gram duplicate mass
                              vs earlier corpus content exceeds the cap —
                              the Lee et al. 2022 exact-substring form)
@@ -47,6 +52,12 @@ from pdf_extraction_spark.sources.tables import TableIO
 MIN_QUALITY = 0.3
 
 
+SEM_DEDUP_TAU = 0.8  # feature-hash cosine for the optional semantic stage;
+# stricter than SemDeDup's 0.35 embedding-space default — hash embeddings
+# share common-word mass across unrelated docs, so the duplicate bar is
+# higher
+
+
 def curate_corpus(
     spark: SparkSession,
     extracted: DataFrame,
@@ -55,6 +66,8 @@ def curate_corpus(
     max_chunk_dup: float = 0.8,
     stage_timings: Optional[dict] = None,
     derep: str = "chunk",
+    semdedup: bool = False,
+    sem_tau: float = SEM_DEDUP_TAU,
 ) -> dict:
     """Run the curation chain over extraction output; returns per-stage
     stats. When ``out_root`` is given the curated corpus is written there
@@ -115,6 +128,43 @@ def curate_corpus(
     n_neardup = neardup.count()
     _lap("neardup_dedup")
 
+    # 3a. OPTIONAL semantic dedup (SemDeDup, Abbas et al. 2023): drop docs
+    # that are semantically near-identical to a surviving higher-quality
+    # doc even when their token overlap is below the MinHash bar
+    # (paraphrases, re-renderings). Embeddings are the deterministic
+    # feature-hash vectors (operators/embed.py); centroids come from
+    # `ivf_train` with k ∝ corpus size — the escalation seam — so the
+    # within-cluster comparison volume stays linear in n.
+    if semdedup:
+        from pdf_extraction_spark.operators.embed import hash_embed
+        from pdf_extraction_spark.operators.semdedup import SEM_K, semantic_members
+        from pdf_extraction_spark.operators.similarity import ivf_train
+
+        emb_frame = neardup.select(
+            F.col("doc_id").alias("vec_id"),
+            hash_embed(F.col("extracted_text")).alias("embedding"),
+        ).localCheckpoint(eager=True)  # ivf_train re-scans per Lloyd iteration
+        k_sem = max(SEM_K, n_neardup // 256)  # ~256-wide target clusters
+        cents = ivf_train(emb_frame, k=k_sem, iters=2)
+        quality = neardup.select(
+            F.col("doc_id").alias("vec_id"),
+            F.length("extracted_text").alias("n_chars"),
+        )
+        _assigned, members = semantic_members(
+            spark, sf="", centroids=cents, embeddings=emb_frame,
+            quality=quality, tau=sem_tau,
+        )
+        sem_drop = members.filter(F.col("vec_id") != F.col("best_id")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        neardup = neardup.join(sem_drop, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        release_caches()
+    n_semdedup = neardup.count() if semdedup else n_neardup
+    if semdedup:
+        _lap("semantic_dedup")
+
     # 3b. repetition filter: a doc that survived document-grain dedup can
     # still be MOSTLY content already seen elsewhere in the corpus
     # (template spam, boilerplate mosaics). Two selectable forms:
@@ -150,7 +200,9 @@ def curate_corpus(
     # new subtree and feeds both this count and the downstream redaction
     dereped = neardup.join(too_dup, "doc_id", "left_anti").localCheckpoint(eager=True)
     n_derep = dereped.count()
-    _lap("chunk_derep")
+    # stage name carries the active mode ('derep_chunk' / 'derep_exact') so
+    # stress/telemetry output says which algorithm the lap measured
+    _lap(f"derep_{derep}")
 
     # 4. PII redaction — same codegen mask as the oracled redact_pii query
     redacted = dereped.select(
@@ -196,6 +248,11 @@ def curate_corpus(
         "n_quality_gated": n_gated,
         "n_after_exact_dedup": n_exact,
         "n_after_neardup": n_neardup,
+        "n_after_semdedup": n_semdedup,
+        "semdedup_enabled": bool(semdedup),
+        "n_after_derep": n_derep,
+        "derep_mode": derep,
+        # legacy alias (pre-r5 key; kept for downstream readers)
         "n_after_chunk_derep": n_derep,
         "n_docs_with_pii": int(n_pii or 0),
         "split_mix": {k: int(v) for k, v in sorted(mix.items())},
@@ -208,8 +265,10 @@ def curate_corpus(
         stage_rows = [
             ("input", n_input), ("quality_gate", n_gated),
             ("exact_dedup", n_exact), ("neardup_dedup", n_neardup),
-            ("chunk_derep", n_derep),
         ]
+        if semdedup:
+            stage_rows.append(("semantic_dedup", n_semdedup))
+        stage_rows.append((f"derep_{derep}", n_derep))
         io.write(
             spark.createDataFrame(stage_rows, "stage string, n_docs bigint"),
             "curation_stats", mode="overwrite",

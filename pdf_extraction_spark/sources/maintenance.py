@@ -220,7 +220,13 @@ def write_bucketed(
 
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", database):
         raise ValueError(f"unsafe database identifier: {database!r}")
-    if location is not None and not re.fullmatch(r"[A-Za-z0-9_\-./ :]+", location):
+    # the location check rejects only the characters that can break out of
+    # the single-quoted SQL literal (quotes, backslash, control chars) —
+    # legitimate warehouse paths contain '=', '~', '+', '%', '@' (partition
+    # dirs, tmp names) and must not be refused
+    if location is not None and (
+        not location or re.search(r"['\"\\\x00-\x1f\x7f]", location)
+    ):
         raise ValueError(f"unsafe database location: {location!r}")
     loc = f" LOCATION '{location}'" if location else ""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`{loc}")

@@ -48,6 +48,12 @@ def main(argv=None) -> int:
              "exact-substring coverage (Lee et al. 2022)",
     )
     ap.add_argument(
+        "--semdedup", action="store_true",
+        help="add the optional semantic-dedup stage to --curate (feature-"
+             "hash embeddings, ivf_train k ∝ n centroids, SemDeDup "
+             "within-cluster groups, longest-member keeper)",
+    )
+    ap.add_argument(
         "--compact", action="store_true",
         help="after extraction, binpack the extracted table's bucket "
              "partitions (checksum-verified; resumed/wave-committed runs "
@@ -85,7 +91,7 @@ def main(argv=None) -> int:
 
         extracted = TableIO(spark, args.output).read("extracted")
         summary["curation"] = curate_corpus(spark, extracted, out_root=args.output,
-                                            derep=args.derep)
+                                            derep=args.derep, semdedup=args.semdedup)
 
     print(json.dumps(summary))
     spark.stop()

@@ -34,10 +34,10 @@ def test_curation_stage_invariants(spark, extracted, tmp_path):
     # monotone shrink through the filtering stages
     assert (stats["n_input"] >= stats["n_quality_gated"]
             >= stats["n_after_exact_dedup"] >= stats["n_after_neardup"]
-            >= stats["n_after_chunk_derep"])
-    assert stats["n_after_chunk_derep"] > 0
+            >= stats["n_after_derep"])
+    assert stats["n_after_derep"] > 0
     # splits cover the survivors exactly
-    assert sum(stats["split_mix"].values()) == stats["n_after_chunk_derep"]
+    assert sum(stats["split_mix"].values()) == stats["n_after_derep"]
     assert set(stats["split_mix"]) <= {"train", "val", "test"}
     # pack counts: at least one pack per non-empty split, and no more
     # packs than docs
@@ -58,7 +58,7 @@ def test_curation_stage_invariants(spark, extracted, tmp_path):
     stages = {r["stage"]: r["n_docs"] for r in io.read("curation_stats").collect()}
     assert stages["input"] == stats["n_input"]
     assert stages["neardup_dedup"] == stats["n_after_neardup"]
-    assert stages["chunk_derep"] == stats["n_after_chunk_derep"]
+    assert stages["derep_chunk"] == stats["n_after_derep"]
 
 
 def test_curation_is_deterministic(spark, extracted, tmp_path):
@@ -90,11 +90,38 @@ def test_exact_derep_mode_drops_superset(spark, extracted, tmp_path):
     # identical upstream stages
     for k in ("n_input", "n_quality_gated", "n_after_exact_dedup", "n_after_neardup"):
         assert chunk[k] == exact[k]
-    assert exact["n_after_chunk_derep"] <= chunk["n_after_chunk_derep"]
-    assert exact["n_after_chunk_derep"] > 0
+    assert exact["n_after_derep"] <= chunk["n_after_derep"]
+    assert exact["n_after_derep"] > 0
     # determinism holds for the exact mode too
     again = curate_corpus(spark, extracted, max_chunk_dup=0.3, derep="exact")
     assert exact == again
+
+
+def test_semdedup_stage_ordering_and_determinism(spark, extracted, tmp_path):
+    """Optional semantic-dedup stage: sits between near-dup and derep,
+    keeps the count chain monotone, is deterministic, and drops strictly
+    more at a looser cosine threshold (threshold monotonicity)."""
+    base = curate_corpus(spark, extracted)
+    assert base["semdedup_enabled"] is False
+    assert base["n_after_semdedup"] == base["n_after_neardup"]  # pass-through
+
+    on = curate_corpus(spark, extracted, out_root=str(tmp_path / "sem"), semdedup=True)
+    assert on["semdedup_enabled"] is True
+    # stage ordering: neardup >= semdedup >= derep, upstream identical
+    for k in ("n_input", "n_quality_gated", "n_after_exact_dedup", "n_after_neardup"):
+        assert on[k] == base[k]
+    assert on["n_after_neardup"] >= on["n_after_semdedup"] >= on["n_after_derep"] > 0
+    assert sum(on["split_mix"].values()) == on["n_after_derep"]
+    # the stats table records the stage
+    stages = {r["stage"]: r["n_docs"]
+              for r in TableIO(spark, str(tmp_path / "sem")).read("curation_stats").collect()}
+    assert stages["semantic_dedup"] == on["n_after_semdedup"]
+    # deterministic (out_root does not affect the stats)
+    again = curate_corpus(spark, extracted, semdedup=True)
+    assert on == again
+    # looser tau can only drop more (every >= tau' pair is >= tau for tau' <= tau)
+    loose = curate_corpus(spark, extracted, semdedup=True, sem_tau=0.3)
+    assert loose["n_after_semdedup"] <= on["n_after_semdedup"]
 
 
 def test_derep_mode_validated(spark, extracted):

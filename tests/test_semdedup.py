@@ -107,3 +107,74 @@ def test_size_reduction(spark):
     assert dropped >= groups
     for r in rows:
         assert 0 <= r["n_dropped"] < r["n_vectors"]
+
+
+def _clustered_emb(spark, n_clusters, width, seed=7, dim=64):
+    """Deterministic clustered corpus: n_clusters well-separated centers,
+    `width` near-identical members each (within-cluster cosine ≈ 1,
+    cross-cluster ≈ 0), interleaved so the first-k-by-vec_id k-means init
+    sees one point per true cluster (the test_similarity_ivf layout)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 5.0
+    pts = centers[:, None, :] + rng.standard_normal((n_clusters, width, dim)) * 0.01
+    M = pts.transpose(1, 0, 2).reshape(-1, dim).astype(np.float32)
+    rows = [(int(i), [float(x) for x in M[i]]) for i in range(len(M))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _pair_volume(assigned):
+    sizes = [r["n"] for r in
+             assigned.groupBy("sem_cluster").agg(F.count("*").alias("n")).collect()]
+    return sum(c * (c - 1) // 2 for c in sizes)
+
+
+def test_k_escalation_bounds_pair_volume(spark):
+    """The k ∝ n escalation path the module docstring promises: semantic
+    dedup at scale trains `ivf_train` centroids with k proportional to
+    corpus size, keeping the within-cluster comparison volume Σ|c|²
+    LINEAR in n. Measured here: a 4× corpus with 4× centroids must grow
+    pair volume ~4× (not 16× — the fixed-k behaviour, also measured for
+    contrast), and the full semantic_members pipeline runs end-to-end on
+    ivf_train centroids at k=256."""
+    from pdf_extraction_spark.operators.semdedup import semantic_members
+    from pdf_extraction_spark.operators.similarity import ivf_assign, ivf_train
+
+    WIDTH = 8
+    small = _clustered_emb(spark, 64, WIDTH)    # n = 512,  k = 64
+    large = _clustered_emb(spark, 256, WIDTH)   # n = 2048, k = 256
+
+    cent_small = ivf_train(small, k=64, iters=2)
+    cent_large = ivf_train(large, k=256, iters=2)
+    vol_small = _pair_volume(
+        ivf_assign(small, cent_small).withColumnRenamed("ivf_list", "sem_cluster"))
+    vol_large = _pair_volume(
+        ivf_assign(large, cent_large).withColumnRenamed("ivf_list", "sem_cluster"))
+    # escalated k: 4× data → ~4× pair volume (linear); allow 2× slack for
+    # imperfect k-means splits
+    assert vol_large <= 8 * vol_small, (vol_small, vol_large)
+    # contrast: the SAME large corpus under the small (fixed-k) centroid
+    # count pays quadratically more comparisons — the cost the escalation
+    # avoids
+    vol_fixed_k = _pair_volume(
+        ivf_assign(large, ivf_train(large, k=64, iters=2))
+        .withColumnRenamed("ivf_list", "sem_cluster"))
+    assert vol_fixed_k >= 3 * vol_large, (vol_large, vol_fixed_k)
+
+    # end-to-end semantic dedup on the k=256 ivf_train centroids via the
+    # escalation seam (embeddings + quality overrides; the oracle path's
+    # first-k centroids are untouched)
+    quality = large.select(
+        "vec_id", (F.col("vec_id") % 1000).cast("int").alias("n_chars"))
+    _assigned, members = semantic_members(
+        spark, sf="", centroids=cent_large, embeddings=large, quality=quality)
+    m = [r.asDict() for r in members.collect()]
+    assert len(m) >= int(0.9 * 2048)  # near-identical members dedup together
+    by_group = {}
+    for r in m:
+        by_group.setdefault(r["group_id"], set()).add(r["vec_id"])
+    # ~one group per true cluster, one keeper each → ~7/8 dropped
+    assert 200 <= len(by_group) <= 300
+    dropped = sum(len(v) - 1 for v in by_group.values())
+    assert dropped >= int(0.8 * 2048 * (WIDTH - 1) / WIDTH)
