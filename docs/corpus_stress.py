@@ -74,6 +74,10 @@ def main() -> None:
     total_words = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
     out: dict = {"n_docs": n, "total_words": int(total_words), "cpus": cpus, "timings_s": {}}
 
+    # STRESS_OPS: comma-separated leg subset (default all) — lets a re-run
+    # after an operator change re-measure just the affected leg
+    ops = set(os.environ.get("STRESS_OPS", "chunk,tfidf,pack,sarray").split(","))
+
     def timed(name, fn):
         t0 = time.monotonic()
         r = fn()
@@ -81,9 +85,11 @@ def main() -> None:
         return r
 
     # 1. chunk-grain dedup over ~total_words/10 chunks with 2k-hot keys
-    fr = timed("chunk_dup_fractions", lambda: chunk_dup_fractions(docs)
-               .agg(F.sum("n_chunks"), F.sum("n_dup_chunks")).collect()[0])
-    out["n_chunks"], out["n_dup_chunks"] = int(fr[0]), int(fr[1])
+    if "chunk" in ops:
+        fr = timed("chunk_dup_fractions", lambda: chunk_dup_fractions(docs)
+                   .agg(F.sum("n_chunks"), F.sum("n_dup_chunks")).collect()[0])
+        out["n_chunks"], out["n_dup_chunks"] = int(fr[0]), int(fr[1])
+        out["dup_mass"] = round(out["n_dup_chunks"] / out["n_chunks"], 4)
 
     # 2. tf-idf word shuffle (~60M exploded words → 4,096-word vocab)
     def tfidf():
@@ -93,7 +99,8 @@ def main() -> None:
         df_tbl = tf.groupBy("word").agg(F.count("*").alias("df"))
         return tf.join(F.broadcast(df_tbl), "word").groupBy("lang").agg(
             F.count("*").alias("n_terms")).collect()
-    out["tfidf_lang_rows"] = len(timed("tfidf_agg", tfidf))
+    if "tfidf" in ops:
+        out["tfidf_lang_rows"] = len(timed("tfidf_agg", tfidf))
 
     # 3. packing windows per source (50k docs per source partition)
     def pack():
@@ -102,7 +109,8 @@ def main() -> None:
         p = t.withColumn("pack_id", F.floor(
             (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(float(PACK_BUDGET))).cast("bigint"))
         return p.groupBy("source").agg(F.max("pack_id")).count()
-    out["pack_sources"] = timed("pack_sequences", pack)
+    if "pack" in ops:
+        out["pack_sources"] = timed("pack_sequences", pack)
 
     # 4. suffix-array exact-substring dedup at corpus scale (the full
     # Lee et al. 2022 form the chunk stage approximates). Besides the wall
@@ -144,14 +152,14 @@ def main() -> None:
         release_caches()
         return n_class_rows, int(n_positions), int(mass["docs_with_dup"]), int(mass["dup_words"])
 
-    cls_rows, n_pos, docs_dup, dup_words = timed("suffix_array_dedup", sarray)
-    out["sa_gram_class_rows"] = cls_rows
-    out["sa_window_positions"] = n_pos
-    out["sa_shuffle_compression"] = round(n_pos / cls_rows, 2)
-    out["sa_docs_with_dup"] = docs_dup
-    out["sa_dup_words"] = dup_words
+    if "sarray" in ops:
+        cls_rows, n_pos, docs_dup, dup_words = timed("suffix_array_dedup", sarray)
+        out["sa_gram_class_rows"] = cls_rows
+        out["sa_window_positions"] = n_pos
+        out["sa_shuffle_compression"] = round(n_pos / cls_rows, 2)
+        out["sa_docs_with_dup"] = docs_dup
+        out["sa_dup_words"] = dup_words
 
-    out["dup_mass"] = round(out["n_dup_chunks"] / out["n_chunks"], 4)
     print(json.dumps(out))
     spark.stop()
 
