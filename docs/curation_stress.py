@@ -16,7 +16,9 @@ Prints one JSON line with per-stage wall seconds at both sizes and the
 time ratios (4× data → ratio ≲ 5-6 means nothing went super-linear;
 n log n stages legitimately exceed 4.0 slightly). Record in
 BENCH/SCALE.md. Run: python docs/curation_stress.py
-(env: STRESS_DOCS, default 1_000_000 — the LARGE size).
+(env: STRESS_DOCS, default 1_000_000 — the LARGE size;
+STRESS_SEMDEDUP=1 enables the optional SemDeDup stage, exercising the
+ivf_train k ∝ n escalation inside the composed chain).
 """
 
 from __future__ import annotations
@@ -85,12 +87,14 @@ def main() -> None:
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = build_session(app_name="curation_stress", master=f"local[{cpus}]",
                           shuffle_partitions=4 * cpus)
-    out: dict = {"cpus": cpus, "sizes": {}}
+    semdedup = os.environ.get("STRESS_SEMDEDUP", "0") == "1"
+    out: dict = {"cpus": cpus, "semdedup": semdedup, "sizes": {}}
     for n in (N_DOCS // 4, N_DOCS):
         ext = _gen_extracted(spark, n)
         timings: dict = {}
         t0 = time.monotonic()
-        stats = curate_corpus(spark, ext, out_root=None, stage_timings=timings)
+        stats = curate_corpus(spark, ext, out_root=None, stage_timings=timings,
+                              semdedup=semdedup)
         total = round(time.monotonic() - t0, 1)
         out["sizes"][str(n)] = {
             "total_s": total,

@@ -9,6 +9,7 @@ from pdf_extraction_spark.operators import (  # noqa: F401
     dedup,
     embed,
     eventstats,
+    filtering,
     multimodal,
     nested,
     relational,
@@ -32,6 +33,8 @@ from pdf_extraction_spark.operators import (  # noqa: F401
 _PRIORITY = [
     # new in r5 — first driver check
     "incremental_exact_substring",
+    "dsir_importance_sample", "gopher_quality_filters",
+    "ccnet_perplexity_filter", "split_leakage_audit",
     # last driver-green in r03, rotated out of the 50-entry r04 window by
     # the r4 reorder (VERDICT r4 item 1: no query goes two rounds without a
     # driver row) — these 25 lead; the r04-greened families fill the tail
@@ -49,7 +52,8 @@ _PRIORITY = [
 def all_queries():
     out = {}
     for mod in (relational, dedup, similarity, textstats, multimodal, asof, nested, skew,
-                sampling, scrub, eventstats, embed, corpus, sarray, semdedup):
+                sampling, scrub, eventstats, embed, corpus, sarray, semdedup,
+                filtering):
         for name, pair in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             out[name] = pair

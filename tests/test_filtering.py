@@ -1,0 +1,123 @@
+"""Structural + semantic tests for operators/filtering.py (DSIR /
+Gopher rules / CCNet tiers). The bit-exact oracle comparison lives in
+test_oracle_queries.py; here we pin the properties the oracle can't
+see: that the selection/flags/tiers are MEANINGFUL, and that the plans
+keep the scale shapes the module docstring promises."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.filtering import (
+    DSIR_TOP_N,
+    ccnet_scores,
+    dsir_scores,
+    gopher_flags,
+    q_ccnet_perplexity_filter,
+    q_dsir_importance_sample,
+    q_gopher_quality_filters,
+    q_split_leakage_audit,
+    with_quality_defects,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dsir_head_concentrates_target(spark):
+    """lang never enters the score, yet the top-N must be predominantly
+    English — end-to-end evidence the hashed-bigram ratio estimator
+    separates the target distribution from the raw mix."""
+    head = q_dsir_importance_sample(spark, SF).collect()
+    assert len(head) == DSIR_TOP_N
+    n_en = sum(1 for r in head if r["lang"] == "en")
+    assert n_en >= int(0.8 * DSIR_TOP_N), n_en
+    # corpus-wide the en share is far lower, so concentration is real
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    frac_en = docs.filter(F.col("lang") == "en").count() / docs.count()
+    assert frac_en <= 0.6
+
+
+def test_dsir_scores_partitioning_invariant(spark):
+    """Integer micro-nat arithmetic ⇒ scores are bit-identical under any
+    repartitioning (no float summation order anywhere)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    a = dsir_scores(docs, F.col("lang") == "en").collect()
+    b = dsir_scores(docs.repartition(13), F.col("lang") == "en").collect()
+    assert {(r["doc_id"], r["score_micro_nats"]) for r in a} == {
+        (r["doc_id"], r["score_micro_nats"]) for r in b
+    }
+
+
+def test_gopher_every_rule_fires_and_spares(spark):
+    """The defect injection must make each flag non-vacuous: every rule
+    fires on some doc AND spares some doc."""
+    rows = q_gopher_quality_filters(spark, SF).collect()
+    for flag in (
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_symbol_ratio",
+        "flag_alpha",
+        "flag_stopwords",
+    ):
+        vals = {r[flag] for r in rows}
+        assert vals == {True, False}, (flag, vals)
+    assert {r["keep"] for r in rows} == {True, False}
+
+
+def test_gopher_defect_slices_fire_their_rule(spark):
+    """Each injected defect class trips the rule it was built to trip."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    flags = {r["doc_id"]: r for r in gopher_flags(with_quality_defects(docs)).collect()}
+    for doc_id, r in flags.items():
+        m = doc_id % 11
+        if m == 0:
+            assert r["flag_symbol_ratio"], doc_id  # '#' flood
+        if m == 3:
+            assert r["flag_mean_word_len"], doc_id  # single-char flood
+
+
+def test_ccnet_tiers_nondegenerate_and_exhaustive(spark):
+    """Three tiers exist, every doc lands in exactly one, and the head
+    (most predictable = most repeated vocabulary) has strictly lower
+    NLL than the tail."""
+    tiers = {r["tier"]: r for r in q_ccnet_perplexity_filter(spark, SF).collect()}
+    assert set(tiers) == {"head", "middle", "tail"}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in tiers.values()) == docs.count()
+    assert tiers["head"]["max_nll_nano"] < tiers["tail"]["min_nll_nano"]
+
+
+def test_ccnet_scores_partitioning_invariant(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    a = ccnet_scores(docs).collect()
+    b = ccnet_scores(docs.repartition(7)).collect()
+    assert {(r["doc_id"], r["nll_nano"], r["tier"]) for r in a} == {
+        (r["doc_id"], r["nll_nano"], r["tier"]) for r in b
+    }
+
+
+def test_split_leakage_nonzero_and_exact_dups_leak(spark):
+    """The corpus's exact-dup structure guarantees cross-split 10-gram
+    leaks; the audit must surface them (nonzero for at least one held
+    split) and never report a held split with zero shared grams."""
+    rows = q_split_leakage_audit(spark, SF).collect()
+    assert rows, "no leakage rows at all — audit degenerate"
+    for r in rows:
+        assert r["held_split"] in ("val", "test")
+        assert r["n_shared_grams"] > 0
+        assert r["n_held_docs_leaking"] > 0
+
+
+@pytest.mark.parametrize(
+    "q", [q_dsir_importance_sample, q_ccnet_perplexity_filter, q_split_leakage_audit]
+)
+def test_plans_broadcast_the_small_side(spark, q):
+    """The bucket-weight / vocab-LM tables must reach the big side as
+    BROADCAST joins — a shuffle join on those keys would put the whole
+    exploded corpus through an extra exchange at 100 TB."""
+    plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -143,6 +143,10 @@ _ONE_ROW_BROADCAST_CROSS = {
     # oracle-twin form whose scale path is neardup_bucketed_pairs
     # (operators/similarity.py module docstring)
     "ann_cosine_topk", "ann_ivf_recall", "embedding_neardup_pairs",
+    # filtering: the ONE-ROW totals / corpus-average aggregate frames are
+    # broadcast-crossed onto the 256-row bucket table / vocab LM / per-doc
+    # scores (operators/filtering.py) — constant-size small side by design
+    "dsir_importance_sample", "ccnet_perplexity_filter",
 }
 
 
