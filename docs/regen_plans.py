@@ -107,6 +107,25 @@ def main() -> None:
          plan_of(qs["top_duplicated_grams"](spark, SF)))
     )
 
+    sections.append(
+        ("Incremental exact-substring dedup (append-only gram-count index: per-batch "
+         "suffix-array stage → delta gram counts vs broadcast-checked index join — "
+         "O(new + matched grams) per batch, never recomputes the base corpus)",
+         plan_of(qs["incremental_exact_substring"](spark, SF)))
+    )
+    sections.append(
+        ("DSIR importance sampling (ONE persisted bigram-bucket explode feeds the "
+         "256-bucket distribution fit AND the scoring; weights re-enter as a "
+         "BroadcastHashJoin; per-doc sum is one partial-aggregated shuffle of "
+         "int64 micro-nats)",
+         plan_of(qs["dsir_importance_sample"](spark, SF)))
+    )
+    sections.append(
+        ("C4 line-quality filter (line split → F.filter → reassembly md5, all "
+         "pure Column expressions on the scan: ZERO Exchange in the whole plan)",
+         plan_of(qs["line_quality_filters"](spark, SF)))
+    )
+
     out = ["# Physical plans — optimizer evidence (captured at sf0.01, local[4])", "",
            "Regenerated by `python docs/regen_plans.py`; key shapes asserted",
            "permanently by tests/test_plan_shapes.py.", ""]
