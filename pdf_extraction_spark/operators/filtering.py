@@ -45,6 +45,19 @@ bit-exact DuckDB oracles:
   predictable), tail > 100.3%. The only scalars that move driver-wards are two 1-row
   totals frames, joined back by broadcast — no collect, no global sort.
 
+- ``line_quality_filters`` : the LINE-level cleaning pass of C4
+  (Raffel et al., JMLR 2020 §2.2 — public), complementing the doc-level
+  Gopher rules: keep only lines that end in terminal punctuation, have
+  ≥3 words, and do not mention javascript; drop WHOLE pages containing
+  "lorem ipsum" or a curly brace. The synthetic corpus has no line
+  structure, so it is synthesized deterministically (8-word
+  '.'-terminated lines from the word stream, defect lines injected by
+  doc_id class) — the oracle builds identical strings. The operator
+  proper is one map-only pass: split on newline, F.filter with pure
+  Column predicates, array_join reassembly, md5 of the kept text as the
+  compact reassembly witness. No shuffle at all — at 100 TB this is a
+  free rider on the scan.
+
 No reference-repo analogue (the reference curates nothing); these extend
 the training-data layer alongside operators/scrub.py and textstats.py.
 """
@@ -434,6 +447,117 @@ GROUP BY tier ORDER BY tier
 """
 
 
+# ------------------------------------------------------------ C4 lines
+LINE_WORDS = 8
+LINE_MIN_WORDS = 3
+# line defects by doc_id % 7: 0 → javascript mention, 1 → too-short line,
+# 2 → no terminal punctuation, 3 → lorem-ipsum page killer, 4 → code
+# (curly-brace) page killer, 5/6 → clean
+_DEFECT_LINES = [
+    "please enable javascript to continue.",
+    "too short.",
+    "this line just trails off",
+    "lorem ipsum dolor sit amet.",
+    "function foo() { return 1; }.",
+]
+
+
+def with_line_structure(docs: DataFrame) -> DataFrame:
+    """Deterministic line synthesis: the word stream chunked into
+    LINE_WORDS-word lines, each '.'-terminated (so clean lines pass the
+    terminal-punctuation rule), newline-joined; one defect line appended
+    by doc_id class. A doc's trailing short line (n % LINE_WORDS words)
+    naturally exercises the ≥3-words rule in both directions."""
+    words = F.split(F.col("text"), " ")
+    n_lines = F.expr(f"CAST((size(split(text, ' ')) + {LINE_WORDS - 1}) DIV {LINE_WORDS} AS INT)")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(words, i * LINE_WORDS + 1, LINE_WORDS), " "),
+            F.lit("."),
+        ),
+    )
+    m = F.col("doc_id") % 7
+    defect = F.when(m == 0, F.lit(_DEFECT_LINES[0]))
+    for j in range(1, 5):
+        defect = defect.when(m == j, F.lit(_DEFECT_LINES[j]))
+    aug = F.when(defect.isNull(), lines).otherwise(F.concat(lines, F.array(defect)))
+    return docs.withColumn("text", F.array_join(aug, "\n"))
+
+
+def c4_line_filter(docs: DataFrame) -> DataFrame:
+    """Map-only C4 line cleaning: per-doc line counts, page-level ban
+    flag, and the md5 of the reassembled kept text."""
+    lines = F.split(F.col("text"), "\n")
+    banned = F.lower(F.col("text")).contains("lorem ipsum") | F.col("text").contains("{")
+    keep_line = lambda l: (  # noqa: E731
+        l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= LINE_MIN_WORDS)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        banned.alias("flag_doc_banned"),
+        F.when(banned, F.lit(None).cast("string"))
+        .otherwise(F.md5(F.array_join(kept, "\n")))
+        .alias("kept_md5"),
+    )
+
+
+def q_line_quality_filters(spark: SparkSession, sf: str) -> DataFrame:
+    return c4_line_filter(
+        with_line_structure(T(spark, sf, "documents").select("doc_id", "text"))
+    ).orderBy("doc_id")
+
+
+_SQL_C4 = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+structured AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST((len(w) + {LINE_WORDS - 1}) // {LINE_WORDS} AS BIGINT)),
+           i -> array_to_string(w[i * {LINE_WORDS} + 1 : i * {LINE_WORDS} + {LINE_WORDS}], ' ') || '.'
+         ) AS lines
+  FROM base
+),
+aug AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 7 AS INTEGER)
+           WHEN 0 THEN list_append(lines, '{_DEFECT_LINES[0]}')
+           WHEN 1 THEN list_append(lines, '{_DEFECT_LINES[1]}')
+           WHEN 2 THEN list_append(lines, '{_DEFECT_LINES[2]}')
+           WHEN 3 THEN list_append(lines, '{_DEFECT_LINES[3]}')
+           WHEN 4 THEN list_append(lines, 'function foo() {{ return 1; }}.')
+           ELSE lines END AS lines
+  FROM structured
+),
+f AS (
+  SELECT doc_id, lines, array_to_string(lines, chr(10)) AS text FROM aug
+),
+k AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         (contains(lower(text), 'lorem ipsum') OR contains(text, '{{')) AS banned,
+         list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+                              AND len(string_split(l, ' ')) >= {LINE_MIN_WORDS}
+                              AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM f
+)
+SELECT doc_id,
+       CAST(n_lines AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_lines_kept,
+       banned AS flag_doc_banned,
+       CASE WHEN banned THEN NULL
+            ELSE md5(array_to_string(kept, chr(10))) END AS kept_md5
+FROM k ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------- split-leakage audit
 LEAK_SHINGLE = 10  # training-chunk grain — matches the derep operators
 
@@ -524,5 +648,6 @@ QUERIES = {
     "dsir_importance_sample": (q_dsir_importance_sample, _SQL_DSIR),
     "gopher_quality_filters": (q_gopher_quality_filters, _SQL_GOPHER),
     "ccnet_perplexity_filter": (q_ccnet_perplexity_filter, _SQL_CCNET),
+    "line_quality_filters": (q_line_quality_filters, _SQL_C4),
     "split_leakage_audit": (q_split_leakage_audit, _sql_leak()),
 }

@@ -11,13 +11,16 @@ from pyspark.sql import functions as F
 
 from pdf_extraction_spark.operators.filtering import (
     DSIR_TOP_N,
+    c4_line_filter,
     ccnet_scores,
     dsir_scores,
     gopher_flags,
     q_ccnet_perplexity_filter,
     q_dsir_importance_sample,
     q_gopher_quality_filters,
+    q_line_quality_filters,
     q_split_leakage_audit,
+    with_line_structure,
     with_quality_defects,
 )
 
@@ -109,6 +112,35 @@ def test_split_leakage_nonzero_and_exact_dups_leak(spark):
         assert r["held_split"] in ("val", "test")
         assert r["n_shared_grams"] > 0
         assert r["n_held_docs_leaking"] > 0
+
+
+def test_c4_line_rules_fire_per_class(spark):
+    """Each injected defect class produces the drop it was built for;
+    page-killers null the reassembly witness; clean docs keep every
+    full-length line and lose only the natural trailing short line."""
+    rows = {r["doc_id"]: r for r in q_line_quality_filters(spark, SF).collect()}
+    for doc_id, r in rows.items():
+        m = doc_id % 7
+        if m in (3, 4):  # lorem-ipsum / curly-brace page killers
+            assert r["flag_doc_banned"] and r["kept_md5"] is None, doc_id
+        else:
+            assert not r["flag_doc_banned"] and r["kept_md5"] is not None, doc_id
+            # defect line classes 0/1/2 lose their injected line; every doc
+            # may additionally lose its natural trailing short line
+            assert r["n_lines_kept"] < r["n_lines"] or m in (5, 6), doc_id
+    assert any(r["flag_doc_banned"] for r in rows.values())
+    assert any(
+        r["n_lines_kept"] == r["n_lines"] for r in rows.values()
+    ), "no doc survives intact — line synthesis degenerate"
+
+
+def test_c4_line_filter_is_map_only(spark):
+    """The whole pass must stay on the scan — no exchange anywhere."""
+    docs = with_line_structure(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    )
+    plan = c4_line_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
 
 
 @pytest.mark.parametrize(
