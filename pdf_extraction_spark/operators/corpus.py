@@ -371,8 +371,75 @@ GROUP BY d.lang, b.p05, b.p95 ORDER BY d.lang
 """
 
 
+# --------------------------------------------------------------------------
+# Token-budget mixture/epoch planner — the "data mixing ledger" a training
+# run prepares from its curated corpus (the per-source token-budget ×
+# mixing-weight arithmetic published in the LLaMA / OLMo / Pile reports):
+# given target mixing weights and a total token budget, compute each
+# source's available tokens, its target share, and the implied number of
+# epochs (repetition factor) in exact milli-epochs — sources whose target
+# exceeds one epoch get flagged (repeating data is a deliberate,
+# documented decision post-Muennighoff 2023). All integer arithmetic:
+# weights are small ints, shares are budget·w DIV Σw, epochs are
+# target·1000 DIV available. One groupBy(source) over the scan plus two
+# 1-row broadcast aggregates — at 100 TB the plan is a partial-aggregated
+# count per source, nothing else.
+MIX_BUDGET_TOKENS = 1_000_000
+
+
+def q_mixture_epoch_plan(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    # deterministic target weight per source: (numeric suffix % 4) + 1.
+    # tokens_available is a per-doc FLOOR (length DIV 4, the token_estimate
+    # convention) summed as int64 — no float summation anywhere.
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.expr("CAST(length(text) DIV 4 AS BIGINT)")).alias("tokens_available")
+    ).withColumn("weight", (F.substring("source", 4, 10).cast("int") % 4 + 1).cast("long"))
+    tot = per_src.agg(F.sum("weight").alias("sum_w")).withColumn("k", F.lit(1))
+    return (
+        per_src.withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .select(
+            "source",
+            "weight",
+            "tokens_available",
+            F.expr(f"CAST({MIX_BUDGET_TOKENS} * weight DIV sum_w AS BIGINT)").alias(
+                "target_tokens"
+            ),
+            F.expr(
+                f"CAST(({MIX_BUDGET_TOKENS} * weight DIV sum_w) * 1000"
+                " DIV tokens_available AS BIGINT)"
+            ).alias("epochs_milli"),
+            F.expr(
+                f"(({MIX_BUDGET_TOKENS} * weight DIV sum_w) * 1000"
+                " DIV tokens_available) > 1000"
+            ).alias("flag_repeats"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_MIX_PLAN = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(text) // 4) AS BIGINT) AS tokens_available,
+         CAST(substring(source, 4)::INTEGER % 4 + 1 AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(weight) AS sum_w FROM per_src)
+SELECT source, weight, tokens_available,
+       CAST({MIX_BUDGET_TOKENS} * weight // sum_w AS BIGINT) AS target_tokens,
+       CAST(({MIX_BUDGET_TOKENS} * weight // sum_w) * 1000
+            // tokens_available AS BIGINT) AS epochs_milli,
+       (({MIX_BUDGET_TOKENS} * weight // sum_w) * 1000
+            // tokens_available) > 1000 AS flag_repeats
+FROM per_src, tot ORDER BY source
+"""
+
+
 QUERIES = {
     "scd2_user_segments": (q_scd2_user_segments, _SQL_SCD2),
+    "mixture_epoch_plan": (q_mixture_epoch_plan, _SQL_MIX_PLAN),
     "pack_sequences": (q_pack_sequences, _SQL_PACK),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
     "chunk_dedup_stats": (q_chunk_dedup_stats, _SQL_CHUNK_DEDUP),

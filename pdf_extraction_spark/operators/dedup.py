@@ -432,8 +432,183 @@ FROM sig GROUP BY prefix ORDER BY prefix
 """
 
 
+# --------------------------------------------------------------------------
+# Bloom-filter dedup PREFILTER — the membership gate a 100 TB ingest runs
+# BEFORE the exact anti-join (Bloom 1970; the distributed filter-as-table
+# form is the standard Spark/Flink runtime-filter pattern). The filter is
+# NOT an opaque sketch blob: it is a TABLE (word_idx, bits) of 32-bit
+# words, built with one bounded groupBy (k·|store| rows → ≤ BLOOM_M/32
+# rows) and BROADCAST to the probe side; a new doc is a candidate dup iff
+# all k probed bits are set. Deterministic md5-derived hash positions make
+# the DuckDB oracle reproduce the filter bit-for-bit.
+#
+# Scale: the filter is SIZED FROM THE STORE — m = BLOOM_BITS_PER_KEY ·
+# |store| bits (the classic m/n=16, k=4 point: theoretical FP ≈
+# (1-e^{-kn/m})^k ≈ 0.2%), carried as a 1-row broadcast scalar INTO the
+# hash arithmetic, so the same operator is correctly loaded at any corpus
+# size. The broadcast word table is m/32 rows (~2 rows per store doc,
+# int64 each); the probe side needs one map-local explode (k rows/doc),
+# one broadcast join, one groupBy(doc). When the store grows to where the
+# word table exceeds broadcast range, the SAME representation
+# range-partitions on word_idx and the probe join becomes a bucketed
+# equi-join — nothing about the operator changes shape. 32-bit words (not
+# 64) keep every mask value positive in both engines, dodging int64
+# sign-semantics divergence on bit 63.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_K = 4  # hash functions
+_BLOOM_WORD = 32
+
+
+def _bloom_probes():
+    """k md5-derived (word_idx, mask) probe structs for the columns
+    `h` (text hash) and `m_bits` (filter size, joined in as a 1-row
+    broadcast scalar). Built as a SQL expression: shiftleft needs a
+    column bit count."""
+    structs = []
+    for j in range(BLOOM_K):
+        pos = (
+            f"pmod(CAST(conv(substring(md5(concat(h, '#{j}')), 1, 15), 16, 10)"
+            f" AS BIGINT), m_bits)"
+        )
+        structs.append(
+            f"struct(CAST({pos} DIV {_BLOOM_WORD} AS BIGINT) AS word_idx, "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % {_BLOOM_WORD} AS INT)) AS mask)"
+        )
+    return F.expr("array(" + ", ".join(structs) + ")")
+
+
+def q_bloom_prefilter(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row summary of the prefilter over the store (doc_id % 5 != 0)
+    vs the new batch (doc_id % 5 == 0): candidates flagged by the filter,
+    exact true dups (semi join on the text hash), false positives, and
+    the filter's physical size and load (m_bits, nonzero words, set
+    bits). The synthetic corpus has no exact cross-doc dups, so half the
+    new batch (doc_id % 10 == 0) deterministically borrows its successor
+    doc's text — a store member — making the no-false-negative guarantee
+    (every true dup IS a candidate) verifiable, not vacuous."""
+    base = T(spark, sf, "documents").select("doc_id", "text")
+    store = base.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    donor = base.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("donor_text")
+    )
+    new = (
+        base.filter(F.col("doc_id") % 5 == 0)
+        .join(donor, "doc_id")
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 10 == 0, F.col("donor_text")).otherwise(
+                    F.col("text")
+                )
+            ).alias("h"),
+        )
+    )
+    sizing = (
+        store.agg(F.count("*").alias("n_store"))
+        .select((F.col("n_store") * BLOOM_BITS_PER_KEY).alias("m_bits"))
+        .withColumn("k", F.lit(1))
+    )
+    with_m = lambda df: df.withColumn("k", F.lit(1)).join(F.broadcast(sizing), "k")  # noqa: E731
+
+    filt = (
+        with_m(store).select(F.explode(_bloom_probes()).alias("p"))
+        .groupBy(F.col("p.word_idx").alias("word_idx"))
+        .agg(F.bit_or("p.mask").alias("bits"))
+    )
+    probes = with_m(new).select("doc_id", "h", F.explode(_bloom_probes()).alias("p"))
+    hits = (
+        probes.join(F.broadcast(filt), probes["p.word_idx"] == filt["word_idx"], "left")
+        .select(
+            "doc_id",
+            "h",
+            (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("p.mask")) == F.col("p.mask"))).alias("hit"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min(F.col("hit").cast("int")).alias("all_hit"))
+    )
+    true_dup = new.join(store.select("h").distinct(), "h", "left_semi").select("doc_id")
+    n_true = true_dup.agg(F.count("*").alias("c")).withColumn("k", F.lit(1))
+    load = filt.agg(
+        F.count("*").alias("n_filter_words"),
+        F.sum(F.bit_count("bits")).alias("n_set_bits"),
+    ).withColumn("k", F.lit(1))
+    summary = hits.agg(
+        F.count("*").alias("n_new"),
+        F.sum("all_hit").alias("n_candidates"),
+    ).withColumn("k", F.lit(1))
+    return (
+        summary.join(F.broadcast(n_true), "k")
+        .join(F.broadcast(load), "k")
+        .join(F.broadcast(sizing), "k")
+        .select(
+            "n_new",
+            "n_candidates",
+            F.col("c").alias("n_true_dups"),
+            (F.col("n_candidates") - F.col("c")).alias("n_false_positives"),
+            "m_bits",
+            "n_filter_words",
+            "n_set_bits",
+        )
+    )
+
+
+_SQL_BLOOM = f"""
+WITH store AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 <> 0
+),
+new_b AS (
+  SELECT d.doc_id,
+         md5(CASE WHEN d.doc_id % 10 = 0 THEN d2.text ELSE d.text END) AS h
+  FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 5 = 0
+),
+sizing AS (SELECT count(*) * {BLOOM_BITS_PER_KEY} AS m_bits FROM store),
+store_p AS (
+  SELECT ('0x' || substring(md5(h || '#' || j), 1, 15))::BIGINT % m_bits AS pos
+  FROM store, sizing, range({BLOOM_K}) t(j)
+),
+filt AS (
+  SELECT pos // {_BLOOM_WORD} AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS bits
+  FROM store_p GROUP BY 1
+),
+new_p AS (
+  SELECT doc_id, h,
+         ('0x' || substring(md5(h || '#' || j), 1, 15))::BIGINT % m_bits AS pos
+  FROM new_b, sizing, range({BLOOM_K}) t(j)
+),
+hits AS (
+  SELECT n.doc_id, n.h,
+         min(CASE WHEN f.bits IS NOT NULL
+                   AND (f.bits & (1::BIGINT << CAST(n.pos % {_BLOOM_WORD} AS INTEGER)))
+                       = (1::BIGINT << CAST(n.pos % {_BLOOM_WORD} AS INTEGER))
+                  THEN 1 ELSE 0 END) AS all_hit
+  FROM new_p n LEFT JOIN filt f ON n.pos // {_BLOOM_WORD} = f.word_idx
+  GROUP BY n.doc_id, n.h
+),
+truth AS (
+  SELECT count(*) AS n_true FROM new_b
+  WHERE h IN (SELECT h FROM store)
+),
+load AS (
+  SELECT count(*) AS n_filter_words, sum(bit_count(bits)) AS n_set_bits FROM filt
+)
+SELECT count(*) AS n_new,
+       CAST(sum(all_hit) AS BIGINT) AS n_candidates,
+       (SELECT n_true FROM truth) AS n_true_dups,
+       CAST(sum(all_hit) - (SELECT n_true FROM truth) AS BIGINT) AS n_false_positives,
+       (SELECT m_bits FROM sizing) AS m_bits,
+       (SELECT n_filter_words FROM load) AS n_filter_words,
+       CAST((SELECT n_set_bits FROM load) AS BIGINT) AS n_set_bits
+FROM hits
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, _SQL_DEDUP_EXACT),
+    "dedup_bloom_prefilter": (q_bloom_prefilter, _SQL_BLOOM),
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, _SQL_MINHASH),
     "dedup_incremental_lsh": (q_incremental_lsh, _SQL_INCREMENTAL),
     "dedup_simhash_buckets": (q_simhash_buckets, _SQL_SIMHASH),

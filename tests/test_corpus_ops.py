@@ -125,3 +125,24 @@ def test_adaptive_length_filter_keeps_central_mass(spark):
         # a [p05, p95] cut keeps ~90% of each language (inclusive bounds
         # can keep slightly more on ties, never less than ~85%)
         assert 0.85 * counts[lang] <= r.n_kept <= counts[lang]
+
+
+def test_mixture_epoch_plan_arithmetic_and_flags(spark):
+    """Target shares are budget-proportional to the weights (integer
+    DIV), epoch counts follow from per-source availability, and the
+    repeat flag fires exactly when the target exceeds one epoch."""
+    from pdf_extraction_spark.operators.corpus import (
+        MIX_BUDGET_TOKENS,
+        q_mixture_epoch_plan,
+    )
+
+    rows = q_mixture_epoch_plan(spark, "/root/testdata/sf0.001").collect()
+    sum_w = sum(r["weight"] for r in rows)
+    for r in rows:
+        assert r["target_tokens"] == MIX_BUDGET_TOKENS * r["weight"] // sum_w
+        assert r["epochs_milli"] == r["target_tokens"] * 1000 // r["tokens_available"]
+        assert r["flag_repeats"] == (r["epochs_milli"] > 1000)
+    # weights 1..4 all present, and the budget dwarfs this tiny corpus so
+    # every source must be flagged as repeating (non-vacuous flag check)
+    assert {r["weight"] for r in rows} == {1, 2, 3, 4}
+    assert all(r["flag_repeats"] for r in rows)

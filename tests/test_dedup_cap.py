@@ -180,3 +180,35 @@ def test_incremental_lsh_equals_batch_restriction(spark):
     }
     assert got, "new batch should produce near-dup pairs at sf0.001"
     assert got == want
+
+
+# ---------------------------------------------------------------- bloom
+def test_bloom_prefilter_never_misses_a_true_dup(spark):
+    """Bloom's one-sided guarantee: every exact dup in the new batch MUST
+    be flagged as a candidate (no false negatives, by construction of the
+    bit probes); false positives are allowed but bounded by the m/n=16
+    sizing. The fixture corpus injects exactly |new|/2 true dups."""
+    from pdf_extraction_spark.operators.dedup import q_bloom_prefilter
+
+    r = q_bloom_prefilter(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_true_dups"] == r["n_new"] // 2  # injected half
+    assert r["n_candidates"] >= r["n_true_dups"]  # no false negative
+    assert r["n_false_positives"] == r["n_candidates"] - r["n_true_dups"]
+    # sizing invariant: m = 16 * |store|, word table spans <= m/32 rows
+    assert r["m_bits"] == 16 * (500 - r["n_new"])
+    assert r["n_filter_words"] <= r["m_bits"] // 32
+    assert 0 < r["n_set_bits"] <= 32 * r["n_filter_words"]
+
+
+def test_bloom_filter_word_table_is_broadcast(spark):
+    """The probe join must reach the filter as a broadcast hash join —
+    shuffling the probe side against a <=2-rows-per-store-doc table would
+    be the wrong plan at any scale."""
+    from pdf_extraction_spark.operators.dedup import q_bloom_prefilter
+
+    plan = (
+        q_bloom_prefilter(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

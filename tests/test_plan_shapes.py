@@ -147,6 +147,10 @@ _ONE_ROW_BROADCAST_CROSS = {
     # broadcast-crossed onto the 256-row bucket table / vocab LM / per-doc
     # scores (operators/filtering.py) — constant-size small side by design
     "dsir_importance_sample", "ccnet_perplexity_filter",
+    # bloom prefilter / mixture planner: 1-row count/load/total aggregates
+    # broadcast-crossed onto the summary row (operators/dedup.py::q_bloom_prefilter,
+    # operators/corpus.py::q_mixture_epoch_plan)
+    "dedup_bloom_prefilter", "mixture_epoch_plan",
 }
 
 
