@@ -122,7 +122,9 @@ def main() -> None:
     )
     sections.append(
         ("C4 line-quality filter (line split → F.filter → reassembly md5, all "
-         "pure Column expressions on the scan: ZERO Exchange in the whole plan)",
+         "pure Column expressions on the scan — the only Exchange below is the "
+         "oracle-presentation ORDER BY; the filter itself is map-only, asserted "
+         "by test_filtering.py::test_c4_line_filter_is_map_only)",
          plan_of(qs["line_quality_filters"](spark, SF)))
     )
 
