@@ -76,7 +76,7 @@ def main() -> None:
 
     # STRESS_OPS: comma-separated leg subset (default all) — lets a re-run
     # after an operator change re-measure just the affected leg
-    ops = set(os.environ.get("STRESS_OPS", "chunk,tfidf,pack,sarray").split(","))
+    ops = set(os.environ.get("STRESS_OPS", "chunk,tfidf,pack,sarray,filters,shard").split(","))
 
     def timed(name, fn):
         t0 = time.monotonic()
@@ -159,6 +159,41 @@ def main() -> None:
         out["sa_shuffle_compression"] = round(n_pos / cls_rows, 2)
         out["sa_docs_with_dup"] = docs_dup
         out["sa_dup_words"] = dup_words
+
+    # 5. published curation-filter suite at corpus scale: Gopher rules are a
+    # map-only pass; DSIR and CCNet each explode the corpus once (persisted,
+    # shared by fit + scoring) and join back a BROADCAST weight table (256
+    # hashed-bigram buckets / vocab-bounded unigram LM) — the property that
+    # keeps both scan-shaped at 100 TB.
+    if "filters" in ops:
+        from pdf_extraction_spark.operators.filtering import (
+            ccnet_scores,
+            dsir_scores,
+            gopher_flags,
+        )
+
+        out["gopher_kept"] = int(
+            timed("gopher_flags", lambda: gopher_flags(docs)
+                  .agg(F.sum(F.col("keep").cast("long"))).collect()[0][0])
+        )
+        out["dsir_docs_scored"] = int(
+            timed("dsir_scores", lambda: dsir_scores(docs, F.col("lang") == "en")
+                  .count())
+        )
+        tiers = timed("ccnet_scores", lambda: ccnet_scores(docs)
+                      .groupBy("tier").count().collect())
+        out["ccnet_tiers"] = {r["tier"]: r["count"] for r in tiers}
+
+    # 6. shard manifest: map-only hash projection + one groupBy(shard)
+    if "shard" in ops:
+        from pdf_extraction_spark.operators.corpus import N_SHARDS, shard_assign
+
+        rows = timed("shard_manifest", lambda: shard_assign(
+            docs.select("doc_id"), "doc_id").groupBy("shard")
+            .agg(F.count("*").alias("n_docs")).collect())
+        counts = sorted(r["n_docs"] for r in rows)
+        out["shard_n"] = len(rows)
+        out["shard_balance_max_over_min"] = round(counts[-1] / counts[0], 4)
 
     print(json.dumps(out))
     spark.stop()

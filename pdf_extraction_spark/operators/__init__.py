@@ -36,7 +36,7 @@ _PRIORITY = [
     "dsir_importance_sample", "gopher_quality_filters",
     "ccnet_perplexity_filter", "split_leakage_audit",
     "line_quality_filters",
-    "dedup_bloom_prefilter", "mixture_epoch_plan",
+    "dedup_bloom_prefilter", "mixture_epoch_plan", "shard_manifest",
     # last driver-green in r03, rotated out of the 50-entry r04 window by
     # the r4 reorder (VERDICT r4 item 1: no query goes two rounds without a
     # driver row) — these 25 lead; the r04-greened families fill the tail

@@ -43,7 +43,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -437,6 +437,91 @@ FROM per_src, tot ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Training-shard manifest — the final-mile step before the trainer: give the
+# curated corpus a DETERMINISTIC global pseudorandom order (md5 of the doc
+# key — no RNG, reproducible across reruns/engines, membership stable under
+# corpus growth, same construction as sampling.hash_fraction) and assign
+# each doc to one of N_SHARDS output shards. Shard = top-28-bits-of-md5 MOD
+# N_SHARDS: statistically balanced (each shard gets a uniform slice of the
+# hash space) and exactly reproducible in DuckDB — unlike Spark's
+# repartitionByRange, whose sampled range boundaries are not deterministic.
+# The manifest is the bounded artifact shipped with the data: per-shard doc
+# and token counts plus the first/last doc in shard-local order, so a
+# trainer (or auditor) can verify a delivered shard set without re-reading
+# the corpus. ONE partial-aggregated groupBy(shard) over a map-only hash
+# projection — at 100 TB this is a scan-shaped job; the companion writer
+# `write_training_shards` produces the actual files with one
+# repartition(shard) + sortWithinPartitions(order_key) shuffle.
+N_SHARDS = 8
+
+
+def _order_key(key: Column | str) -> Column:
+    """Deterministic pseudorandom order key: md5('shard:' || key)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat_ws(":", F.lit("shard"), c.cast("string")))
+
+
+def shard_assign(df: DataFrame, key: str, n_shards: int = N_SHARDS) -> DataFrame:
+    """Add ``order_key`` (global pseudorandom sort key) and ``shard``
+    (hash-bucket shard id in [0, n_shards)) columns. Map-only."""
+    okey = _order_key(key)
+    return df.withColumn("order_key", okey).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring(okey, 1, 7), 16, 10).cast("long"), F.lit(n_shards)).cast("int"),
+    )
+
+
+def write_training_shards(df: DataFrame, path: str, key: str,
+                          n_shards: int = N_SHARDS) -> None:
+    """Materialize the shard set: one repartition on shard (each output
+    partition = one shard), docs sorted by order_key within the shard →
+    every shard file is internally pseudorandom-ordered yet byte-reproducible
+    run over run. Partitioned by shard so a trainer reads shard k via
+    partition pruning."""
+    (
+        shard_assign(df, key, n_shards)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "order_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    docs = T(spark, sf, "documents")
+    s = shard_assign(
+        docs.select("doc_id", F.expr("CAST(length(text) DIV 4 AS BIGINT)").alias("n_tok")),
+        "doc_id",
+    )
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min_by("doc_id", "order_key").alias("first_doc"),
+            F.max_by("doc_id", "order_key").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SQL_SHARD_MANIFEST = f"""
+WITH s AS (
+  SELECT doc_id, CAST(length(text) // 4 AS BIGINT) AS n_tok,
+         md5('shard:' || doc_id) AS order_key,
+         CAST(CAST(('0x' || substring(md5('shard:' || doc_id), 1, 7)) AS BIGINT)
+              % {N_SHARDS} AS INTEGER) AS shard
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       arg_min(doc_id, order_key) AS first_doc,
+       arg_max(doc_id, order_key) AS last_doc
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = {
     "scd2_user_segments": (q_scd2_user_segments, _SQL_SCD2),
     "mixture_epoch_plan": (q_mixture_epoch_plan, _SQL_MIX_PLAN),
@@ -445,4 +530,5 @@ QUERIES = {
     "chunk_dedup_stats": (q_chunk_dedup_stats, _SQL_CHUNK_DEDUP),
     "source_mix_sample": (q_source_mix_sample, _SQL_SOURCE_MIX),
     "adaptive_length_filter": (q_adaptive_length_filter, _SQL_ADAPTIVE_LEN),
+    "shard_manifest": (q_shard_manifest, _SQL_SHARD_MANIFEST),
 }

@@ -146,3 +146,59 @@ def test_mixture_epoch_plan_arithmetic_and_flags(spark):
     # every source must be flagged as repeating (non-vacuous flag check)
     assert {r["weight"] for r in rows} == {1, 2, 3, 4}
     assert all(r["flag_repeats"] for r in rows)
+
+
+def test_shard_manifest_partition_and_balance(spark):
+    """Shards partition the corpus exactly (no doc lost or double-counted),
+    hash-bucket balance stays within a generous uniform envelope, and the
+    assignment is deterministic + growth-stable (a doc's shard depends only
+    on its own key)."""
+    from pdf_extraction_spark.operators.corpus import N_SHARDS, q_shard_manifest, shard_assign
+    from pdf_extraction_spark.sources.tables import load_testdata as T
+
+    rows = q_shard_manifest(spark, SF_DIR).collect()
+    assert [r.shard for r in rows] == sorted({r.shard for r in rows})
+    assert all(0 <= r.shard < N_SHARDS for r in rows)
+    docs = T(spark, SF_DIR, "documents")
+    n = docs.count()
+    assert sum(r.n_docs for r in rows) == n  # exact partition
+    # uniform hash-bucket balance: no shard beyond 2x the fair share
+    assert max(r.n_docs for r in rows) <= 2 * (n // N_SHARDS) + 1
+
+    # growth stability: assignment over a half-corpus agrees with the full run
+    half = shard_assign(docs.filter("n_chars % 2 = 0").select("doc_id"), "doc_id")
+    full = shard_assign(docs.select("doc_id"), "doc_id")
+    joined = half.alias("h").join(full.alias("f"), "doc_id")
+    assert joined.filter("h.shard <> f.shard").count() == 0
+
+
+def test_write_training_shards_sorted_and_reproducible(spark, tmp_path):
+    """The materialized shard set is internally sorted by order_key (the
+    pseudorandom training order), partition-pruned by shard, and
+    byte-reproducible run over run."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.corpus import N_SHARDS, write_training_shards
+    from pdf_extraction_spark.sources.tables import load_testdata as T
+
+    docs = T(spark, SF_DIR, "documents").select("doc_id", "source")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, out1, "doc_id")
+    write_training_shards(docs, out2, "doc_id")
+
+    back = spark.read.parquet(out1)
+    assert back.count() == docs.count()
+    assert sorted(r.shard for r in back.select("shard").distinct().collect()) == list(range(N_SHARDS))
+    # within-file order == order_key order (per input file, since each shard
+    # partition dir holds this run's files)
+    import pyarrow.parquet as pq
+    import glob
+    files = sorted(glob.glob(out1 + "/shard=*/*.parquet"))
+    assert files
+    for f in files[:4]:
+        keys = pq.read_table(f, columns=["order_key"]).column("order_key").to_pylist()
+        assert keys == sorted(keys)
+    # reproducibility: identical logical content both runs
+    a = spark.read.parquet(out1).select("doc_id", "shard", "order_key")
+    b = spark.read.parquet(out2).select("doc_id", "shard", "order_key")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
