@@ -97,8 +97,9 @@ pinned-pair evidence can be reproduced with
 ## Run-to-run band
 
 Pinned 2v8 runs on this box have measured efficiency 0.849, 0.909,
-0.858, and \u2014 during a documented machine slow-phase \u2014 0.650 (8-core leg
-5080 / 5584 / 4882 / 2589 turns/s). Every healthy-phase run clears the
+0.858, 0.908 (round 4), and \u2014 during a documented machine slow-phase \u2014
+0.650 (8-core leg 5080 / 5584 / 4882 / 5114 / 2589 turns/s). Every
+healthy-phase run clears the
 \u22650.8 target; the slow-phase run is environmental (both legs depressed
 40-60% while the single-core calibration fell ~3\u00d7 in the same window \u2014
 see BENCH/SCALE.md "Machine-speed swings"). The table above records the

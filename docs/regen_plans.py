@@ -127,6 +127,12 @@ def main() -> None:
          "by test_filtering.py::test_c4_line_filter_is_map_only)",
          plan_of(qs["line_quality_filters"](spark, SF)))
     )
+    sections.append(
+        ("Training-shard manifest (map-only md5 order-key/shard projection on the "
+         "scan → ONE partial-aggregated HashAggregate exchange on shard — the "
+         "8-row manifest is the only thing that crosses the shuffle)",
+         plan_of(qs["shard_manifest"](spark, SF)))
+    )
 
     out = ["# Physical plans — optimizer evidence (captured at sf0.01, local[4])", "",
            "Regenerated by `python docs/regen_plans.py`; key shapes asserted",
