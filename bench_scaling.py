@@ -97,13 +97,15 @@ pinned-pair evidence can be reproduced with
 ## Run-to-run band
 
 Pinned 2v8 runs on this box have measured efficiency 0.849, 0.909,
-0.858, 0.908 (round 4), and \u2014 during a documented machine slow-phase \u2014
-0.650 (8-core leg 5080 / 5584 / 4882 / 5114 / 2589 turns/s). Every
-healthy-phase run clears the
-\u22650.8 target; the slow-phase run is environmental (both legs depressed
-40-60% while the single-core calibration fell ~3\u00d7 in the same window \u2014
-see BENCH/SCALE.md "Machine-speed swings"). The table above records the
-run that produced this file; judge cross-round numbers only after
+0.858, 0.908 (round 4), 0.898 (round 5, both legs in the healthy band),
+and \u2014 during documented machine phase-swings \u2014 0.650, 0.727 (8-core
+leg depressed 26% while the 2-core leg was healthy) and an unphysical
+1.219 (2-core leg caught a slow phase while the 8-core leg was healthy;
+the legs run sequentially, so a phase flip mid-run skews either
+direction \u2014 all attempts recorded in BENCH/SCALE.md). Every run whose
+BOTH legs sit in the healthy band (2-core ~1300-1450, 8-core
+~4900-5800 turns/s) clears the \u22650.8 target. The table above records
+the run that produced this file; judge cross-round numbers only after
 normalizing by `calib_1core_turns_per_sec` from the same bench output.
 """
     os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
