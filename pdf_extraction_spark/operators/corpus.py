@@ -457,18 +457,23 @@ N_SHARDS = 8
 
 
 def _order_key(key: Column | str) -> Column:
-    """Deterministic pseudorandom order key: md5('shard:' || key)."""
+    """Deterministic pseudorandom order key: the top 60 bits of
+    md5('shard:' || key) as a BIGINT. An integer (not the hex string) so
+    the manifest's min_by/max_by keep a fixed-width aggregation buffer —
+    Spark plans a HashAggregate instead of the SortAggregate fallback a
+    var-length string buffer forces (which would add a per-partition full
+    sort to every manifest build at scale)."""
     c = F.col(key) if isinstance(key, str) else key
-    return F.md5(F.concat_ws(":", F.lit("shard"), c.cast("string")))
+    h = F.md5(F.concat_ws(":", F.lit("shard"), c.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
 
 
 def shard_assign(df: DataFrame, key: str, n_shards: int = N_SHARDS) -> DataFrame:
-    """Add ``order_key`` (global pseudorandom sort key) and ``shard``
-    (hash-bucket shard id in [0, n_shards)) columns. Map-only."""
+    """Add ``order_key`` (global pseudorandom sort key, int64) and
+    ``shard`` (hash-bucket shard id in [0, n_shards)) columns. Map-only."""
     okey = _order_key(key)
     return df.withColumn("order_key", okey).withColumn(
-        "shard",
-        F.pmod(F.conv(F.substring(okey, 1, 7), 16, 10).cast("long"), F.lit(n_shards)).cast("int"),
+        "shard", F.pmod(okey, F.lit(n_shards)).cast("int")
     )
 
 
@@ -482,7 +487,7 @@ def write_training_shards(df: DataFrame, path: str, key: str,
     (
         shard_assign(df, key, n_shards)
         .repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "order_key")
+        .sortWithinPartitions("shard", "order_key", key)  # key breaks 60-bit ties
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
@@ -510,8 +515,8 @@ def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
 _SQL_SHARD_MANIFEST = f"""
 WITH s AS (
   SELECT doc_id, CAST(length(text) // 4 AS BIGINT) AS n_tok,
-         md5('shard:' || doc_id) AS order_key,
-         CAST(CAST(('0x' || substring(md5('shard:' || doc_id), 1, 7)) AS BIGINT)
+         CAST(('0x' || substring(md5('shard:' || doc_id), 1, 15)) AS BIGINT) AS order_key,
+         CAST(CAST(('0x' || substring(md5('shard:' || doc_id), 1, 15)) AS BIGINT)
               % {N_SHARDS} AS INTEGER) AS shard
   FROM documents
 )
