@@ -76,7 +76,7 @@ def main() -> None:
 
     # STRESS_OPS: comma-separated leg subset (default all) — lets a re-run
     # after an operator change re-measure just the affected leg
-    ops = set(os.environ.get("STRESS_OPS", "chunk,tfidf,pack,sarray,filters,shard").split(","))
+    ops = set(os.environ.get("STRESS_OPS", "chunk,tfidf,pack,sarray,filters,shard,incr").split(","))
 
     def timed(name, fn):
         t0 = time.monotonic()
@@ -183,6 +183,41 @@ def main() -> None:
         tiers = timed("ccnet_scores", lambda: ccnet_scores(docs)
                       .groupBy("tier").count().collect())
         out["ccnet_tiers"] = {r["tier"]: r["count"] for r in tiers}
+
+    # 6b. incremental exact-substring: the per-batch O(|new| + matched)
+    # claim measured directly — a FIXED-size new batch (STRESS_INCR_NEW
+    # docs, spanning all template families so old-corpus matches are real)
+    # against a GROWING indexed corpus. If the claim holds, doubling
+    # STRESS_DOCS ~doubles incr_index_build (the amortized ingest cost a
+    # deployment pays once per batch-append) while incr_delta_mass stays
+    # ~flat (new-batch suffix-array stage + one keyed join of its distinct
+    # grams against the persisted index).
+    if "incr" in ops:
+        from pdf_extraction_spark.cache import release_caches
+        from pdf_extraction_spark.operators.sarray import (
+            build_gram_index,
+            gram_classes,
+            incremental_duplicated_mass,
+        )
+
+        new_n = int(os.environ.get("STRESS_INCR_NEW", "10000"))
+        old = docs.filter(F.col("doc_id") >= new_n).select("doc_id", "text")
+        new = docs.filter(F.col("doc_id") < new_n).select("doc_id", "text")
+
+        def index_build():
+            idx = build_gram_index(old)  # eager: materialized, lineage cut
+            return idx, idx.count()
+
+        index, out["incr_index_rows"] = timed("incr_index_build", index_build)
+        delta = timed("incr_delta_mass", lambda: incremental_duplicated_mass(index, new)
+                      .agg(F.count("*").alias("docs_with_dup"),
+                           F.sum("dup_words").alias("dup_words")).collect()[0])
+        out["incr_new_docs"] = new_n
+        out["incr_new_docs_with_dup"] = int(delta["docs_with_dup"])
+        out["incr_new_dup_words"] = int(delta["dup_words"])
+        # stats pass (untimed; the class rows are already persisted)
+        out["incr_new_gram_rows"] = gram_classes(new).count()
+        release_caches()
 
     # 6. shard manifest: map-only hash projection + one groupBy(shard)
     if "shard" in ops:

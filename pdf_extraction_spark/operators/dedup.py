@@ -170,7 +170,13 @@ def lsh_band_candidates(sigs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -
         .select("seed", "mh")
     )
     # persist the capped bands: they feed BOTH self-join sides, and without
-    # the cache each side re-runs the width agg + anti-join subtree
+    # the cache each side re-runs the width agg + anti-join subtree.
+    # persist (not localCheckpoint) is CORRECT here: an .alias() self-join
+    # of one DataFrame object hits the cache on both sides (measured r5:
+    # checkpointing this frame is ~45% SLOWER — pure write cost, no
+    # recompute avoided). The cache-defeat that required checkpoints in
+    # the incremental paths is specific to old/new FILTER SPLITS of one
+    # source, where analyzer de-duplication rewrites one branch.
     bands = track(bands.join(F.broadcast(hot), ["seed", "mh"], "left_anti").persist())
     a = bands.alias("a")
     b = bands.alias("b")
@@ -227,25 +233,22 @@ def build_minhash_index(docs: DataFrame):
     tables bucketed by (seed, mh) / doc_id, appended per batch — signatures
     are computed ONCE per document, ever.
 
-    PERSIST ADJUDICATION (bench r4, sf0.1, warm best-of-3): the index
-    feeds four consumers inside incremental_minhash_pairs (union width
-    agg, capped_all join side, both gram sides of the jaccard verify).
-    Three shapes were measured:
-      (a) no persist (r3 form, the ADVICE "4× recompute"): the recomputed
-          subtrees are COLUMN-PRUNED — the band consumers re-run
-          shingle+agg without carrying gram arrays, the verify sides
-          re-run only the vectorized shingling map pass (~0.2 s/pass);
-      (b) persist the WIDE joined signature frame: drags gram arrays into
-          every consumer's cache rows (ser/deser per pass) — 9.6 s,
-          SLOWER than (a);
-      (c) persist ONLY the narrow (doc_id, seed, mh) band rows, coalesced
-          to core count, and let grams recompute: ~6 s — the recorded
-          shape. The min-agg shuffle runs once; the cheap map pass twice.
-    At deployment scale the tradeoff disappears: both live as bucketed
-    TABLES and no in-query recompute exists at all (see q_incremental_lsh
-    BENCH NOTE)."""
-    from pyspark.storagelevel import StorageLevel
-
+    PERSIST ADJUDICATION, re-opened r5: the r4 measurement (no-persist ≈
+    narrow-persist 5.8 s ≈ the recorded shape) was comparing two
+    IDENTICAL executions — the persist was silently defeated. Root
+    cause: old and new docs are filters of the same source, the
+    analyzer's self-join de-duplication re-aliases one branch of every
+    consumer plan, and Spark's cache substitution misses for the
+    re-aliased branch (minimal repro in the r5 commit message;
+    discovered via the incremental exact-substring path, see
+    sarray.build_gram_index). localCheckpoint cuts the shared lineage —
+    the in-session stand-in for the bucketed band TABLE a deployment
+    reads — and every consumer reads materialized rows: measured 13.5 →
+    4.4 s warm (same slow-box phase, same 53 result rows) with
+    checkpointed bands + new-batch signatures. Grams stay lazy: their
+    recompute is the cheap column-pruned shingling map pass, and
+    checkpointing the wide gram arrays is the r4 shape-(b) cost that
+    LOST the adjudication."""
     grams = docs.select("doc_id", grams_udf(F.col("text")).alias("grams"))
     sigs = _min_sigs(grams)
     # coalesce to core count: downstream these rows are UNIONED with the
@@ -254,7 +257,16 @@ def build_minhash_index(docs: DataFrame):
     # near-empty tasks of pure scheduling overhead per consumer. Narrow
     # (no extra shuffle).
     dp = docs.sparkSession.sparkContext.defaultParallelism
-    bands = track(_band_rows(sigs).coalesce(dp).persist(StorageLevel.MEMORY_AND_DISK))
+    # localCheckpoint, not persist: old and new docs are filters of the
+    # same source, and the analyzer's self-join de-duplication re-aliases
+    # one branch of every consumer plan — Spark's cache substitution
+    # MISSES for the re-aliased branch (verified on 4.1; discovered via
+    # the incremental exact-substring path, see sarray.build_gram_index),
+    # so a persist here is silently ignored and the old-corpus min-agg
+    # shuffle re-runs per consumer. Checkpointing cuts the shared lineage
+    # — the in-session stand-in for the bucketed band TABLE a deployment
+    # reads — and makes every consumer read materialized rows.
+    bands = _band_rows(sigs).coalesce(dp).localCheckpoint(eager=True)
     return bands, grams
 
 
@@ -274,7 +286,7 @@ def incremental_minhash_pairs(
     the cap — the standard append-only-index tradeoff, documented here.
     Per batch this shuffles O(|new| + matched buckets), not O(|corpus|)."""
     dp = new_docs.sparkSession.sparkContext.defaultParallelism
-    new_sigs = track(minhash_signatures(new_docs).coalesce(dp).persist())
+    new_sigs = minhash_signatures(new_docs).coalesce(dp).localCheckpoint(eager=True)
     new_bands = _band_rows(new_sigs)
     all_bands = index_bands.unionByName(new_bands)
     hot = (

@@ -397,11 +397,22 @@ def build_gram_index(
     md5 keys only through the shuffle, occurrence payloads dropped.
     Append-mergeable: a batch appends its own (gram_key, n) rows and
     compaction re-sums — counts are associative."""
-    return (
+    counts = (
         gram_classes(docs, id_col, text_col, window)
         .groupBy("gram_key")
         .agg(F.sum("n_local").alias("n_old"))
     )
+    # MATERIALIZE the index and cut its lineage — the in-session stand-in
+    # for the persisted index TABLE a deployment reads. Not an
+    # optimization: when old and new docs are filters of the same source,
+    # the analyzer de-duplicates the self-join by re-aliasing one branch,
+    # and Spark's cache substitution MISSES for the re-aliased branch
+    # (verified on 4.1: the persisted index plan is silently recomputed
+    # from the full corpus inside every delta join — O(corpus) per batch,
+    # exactly what this module promises not to pay). localCheckpoint
+    # breaks the shared lineage so the delta join reads materialized
+    # rows, like the table read it models.
+    return counts.localCheckpoint(eager=True)
 
 
 def incremental_duplicated_mass(
@@ -419,13 +430,26 @@ def incremental_duplicated_mass(
     batch form restricted to new docs is pinned in tests/test_sarray.py."""
     new_classes = gram_classes(new_docs, id_col, text_col, window)
     new_counts = new_classes.groupBy("gram_key").agg(F.sum("n_local").alias("n_new"))
-    # keyed lookup of the new batch's distinct grams against the index —
-    # the ONLY contact with old-corpus state; at scale both sides are
-    # bucketed by gram_key so this join prunes to matched buckets
+    # A gram qualifies iff n_new + n_old ≥ 2 ⟺ n_new ≥ 2 (within-batch
+    # repeat, no index contact needed) OR n_new == 1 AND the gram exists
+    # in the index (n_old ≥ 1 for every index row). Splitting the
+    # disjunction lets the index lookup be an INNER join with the O(new)
+    # key set BROADCAST: the index side is streamed map-side — never
+    # shuffled, never sorted — so per-batch index cost is one scan with
+    # no exchange (and on a deployment's gram_key-bucketed index table,
+    # a bucket-pruned scan). A left-join formulation instead shuffles
+    # the WHOLE index per batch: broadcast-left-outer isn't a supported
+    # build shape, so Spark falls back to a sort-merge join.
+    within = new_counts.filter(F.col("n_new") >= 2).select("gram_key")
+    single = new_counts.filter(F.col("n_new") == 1).select("gram_key")
+    matched = index_counts.join(F.broadcast(single), "gram_key", "inner").select("gram_key")
     dup_keys = (
-        new_counts.join(index_counts, "gram_key", "left")
-        .filter(F.col("n_new") + F.coalesce("n_old", F.lit(0)) >= 2)
-        .select("gram_key")
+        within.unionByName(matched)  # disjoint by construction
+        # O(|new-batch duplicated grams|) rows. Checkpointing here makes
+        # the coverage query reference the cached new_classes exactly
+        # once — a second (re-aliased) reference would miss the cache and
+        # re-run the new-batch suffix-array stage (see build_gram_index).
+        .localCheckpoint(eager=True)
     )
     starts = (
         new_classes.join(dup_keys, "gram_key")
