@@ -209,9 +209,22 @@ def main() -> None:
             return idx, idx.count()
 
         index, out["incr_index_rows"] = timed("incr_index_build", index_build)
-        delta = timed("incr_delta_mass", lambda: incremental_duplicated_mass(index, new)
-                      .agg(F.count("*").alias("docs_with_dup"),
-                           F.sum("dup_words").alias("dup_words")).collect()[0])
+        # two delta passes (caches released between): the second runs with
+        # a warm JVM against the already-built index — the per-batch cost
+        # a deployment actually pays; the first is recorded for honesty
+        # about cold overhead on this phantom-IO-prone box
+        def delta_pass():
+            release_caches()
+            t0 = time.monotonic()
+            row = (incremental_duplicated_mass(index, new)
+                   .agg(F.count("*").alias("docs_with_dup"),
+                        F.sum("dup_words").alias("dup_words")).collect()[0])
+            return round(time.monotonic() - t0, 1), row
+
+        trials = [delta_pass() for _ in range(2)]
+        out["timings_s"]["incr_delta_mass"] = min(t for t, _ in trials)
+        out["incr_delta_trials_s"] = [t for t, _ in trials]
+        delta = trials[-1][1]
         out["incr_new_docs"] = new_n
         out["incr_new_docs_with_dup"] = int(delta["docs_with_dup"])
         out["incr_new_dup_words"] = int(delta["dup_words"])
