@@ -442,7 +442,14 @@ def incremental_duplicated_mass(
     # build shape, so Spark falls back to a sort-merge join.
     within = new_counts.filter(F.col("n_new") >= 2).select("gram_key")
     single = new_counts.filter(F.col("n_new") == 1).select("gram_key")
-    matched = index_counts.join(F.broadcast(single), "gram_key", "inner").select("gram_key")
+    # distinct: the index may hold MULTIPLE rows per gram — the append-only
+    # ingest (plans/incremental.py) appends one pre-aggregated row per gram
+    # PER BATCH and compacts periodically, so between compactions a hot
+    # gram matches several index rows; without the distinct each extra row
+    # would duplicate the gram's occurrence explosion downstream. Costs one
+    # O(|new dup keys|) shuffle — batch-bounded.
+    matched = (index_counts.join(F.broadcast(single), "gram_key", "inner")
+               .select("gram_key").distinct())
     dup_keys = (
         within.unionByName(matched)  # disjoint by construction
         # O(|new-batch duplicated grams|) rows. Checkpointing here makes

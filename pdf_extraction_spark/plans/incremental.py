@@ -1,0 +1,136 @@
+"""Append-only corpus ingest over PERSISTED index tables — the deployment
+flow the incremental operators' BENCH NOTEs reference (their driver
+queries rebuild the old-corpus index in-query for a self-contained
+oracle; this module is the table-backed form where per-batch cost is
+genuinely O(|new| + matched index rows)).
+
+Warehouse layout (all through the TableIO seam — parquet fallback here,
+Iceberg tables with ``bucket(n, gram_key)`` partitioning on a cluster):
+
+- ``corpus``     : (batch_id, doc_id, text) — accepted documents.
+- ``gram_index`` : (batch_id, gram_key, n_old) — exact-substring gram
+  counts, ONE pre-aggregated row per distinct gram PER BATCH. Appends
+  are O(|new batch|); counts are associative, so readers treat multiple
+  rows per gram as partial sums and ``compact_gram_index`` periodically
+  re-sums to one row per gram (the compaction contract
+  ``operators/sarray.build_gram_index`` documents).
+- ``dup_report`` : (batch_id, doc_id, n_words, dup_words) — the batch's
+  exact duplicated-token mass vs (indexed corpus ∪ batch), written LAST
+  as the batch's commit marker.
+
+Idempotency is PER TABLE via the stamped batch_id: each write is skipped
+when the table already contains the batch, so a crash between writes
+resumes without double-counting (the parquet analogue of Iceberg's
+single-table atomic appends; cross-table atomicity would be an Iceberg
+multi-table transaction, unavailable in this sandbox — README
+"Table-format status"). Retraction-free contract: an already-ingested
+document's dup mass is never updated by later batches
+(`operators/sarray.py` line ~384 documents the tradeoff and the periodic
+batch recompute that reconciles it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pdf_extraction_spark.operators.sarray import (
+    SA_WINDOW,
+    gram_classes,
+    incremental_duplicated_mass,
+)
+from pdf_extraction_spark.sources.tables import TableIO
+
+_INDEX_SCHEMA = "batch_id string, gram_key string, n_old bigint"
+
+
+def _has_batch(io: TableIO, table: str, batch_id: str) -> bool:
+    if not io.exists(table):
+        return False
+    return (
+        io.read(table).filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+    )
+
+
+def append_batch(
+    spark: SparkSession,
+    root: str,
+    new_docs: DataFrame,
+    batch_id: str,
+    window: int = SA_WINDOW,
+) -> dict:
+    """Ingest one batch: compute its exact duplicated-token mass against
+    (indexed corpus ∪ batch) from the gram_index table alone, then append
+    the batch's documents, gram counts, and report. Returns a summary.
+
+    Write order is corpus → gram_index → dup_report, each skipped if the
+    batch is already present, so any crash-resume converges on the same
+    final state and the report's existence certifies a complete ingest."""
+    io = TableIO(spark, root)
+    if _has_batch(io, "dup_report", batch_id):
+        return {"batch_id": batch_id, "skipped": True}
+
+    if io.exists("gram_index"):
+        index = io.read("gram_index").select("gram_key", "n_old")
+    else:
+        index = spark.createDataFrame([], _INDEX_SCHEMA).select("gram_key", "n_old")
+
+    mass = incremental_duplicated_mass(index, new_docs, window=window)
+    report = (
+        new_docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_words"))
+        .join(mass, "doc_id", "left")
+        .select(
+            F.lit(batch_id).alias("batch_id"),
+            "doc_id",
+            "n_words",
+            F.coalesce("dup_words", F.lit(0)).cast("bigint").alias("dup_words"),
+        )
+    )
+
+    if not _has_batch(io, "corpus", batch_id):
+        io.write(
+            new_docs.select(F.lit(batch_id).alias("batch_id"), "doc_id", "text"),
+            "corpus", mode="append",
+        )
+    if not _has_batch(io, "gram_index", batch_id):
+        adds = (
+            gram_classes(new_docs, window=window)
+            .groupBy("gram_key")
+            .agg(F.sum("n_local").alias("n_old"))
+            .select(F.lit(batch_id).alias("batch_id"), "gram_key", "n_old")
+        )
+        io.write(adds, "gram_index", mode="append")
+    io.write(report, "dup_report", mode="append")
+
+    stats = report.agg(
+        F.count("*").alias("n_docs"), F.sum("dup_words").alias("dup_words")
+    ).collect()[0]
+    return {
+        "batch_id": batch_id,
+        "skipped": False,
+        "n_docs": int(stats["n_docs"]),
+        "dup_words": int(stats["dup_words"] or 0),
+    }
+
+
+def compact_gram_index(spark: SparkSession, root: str) -> dict:
+    """Re-sum the gram_index to one row per gram (batch_id collapses to
+    the marker '__compacted__'). Counts are associative, so delta results
+    are identical before and after (pinned in tests); the rewrite is
+    verified against total-count preservation BEFORE the swap."""
+    io = TableIO(spark, root)
+    before = io.read("gram_index")
+    total = before.agg(F.sum("n_old")).collect()[0][0] or 0
+    compacted = (
+        before.groupBy("gram_key")
+        .agg(F.sum("n_old").alias("n_old"))
+        .select(F.lit("__compacted__").alias("batch_id"), "gram_key", "n_old")
+    )
+
+    def verify(staged: DataFrame) -> None:
+        got = staged.agg(F.sum("n_old")).collect()[0][0] or 0
+        if got != total:
+            raise ValueError(f"compaction lost counts: {got} != {total}")
+
+    io.rewrite(compacted, "gram_index", verify=verify)
+    n = io.read("gram_index").count()
+    return {"rows": int(n), "total_count": int(total)}

@@ -1,0 +1,197 @@
+"""Contract tests for the append-only persisted-index ingest
+(plans/incremental.py): per-batch reports equal the batch recompute,
+writes are idempotent per batch_id, a crash between table writes resumes
+to the same final state, and index compaction is result-invariant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.sarray import (
+    build_gram_index,
+    duplicated_token_mass,
+    incremental_duplicated_mass,
+)
+from pdf_extraction_spark.plans.incremental import append_batch, compact_gram_index
+from pdf_extraction_spark.sources.tables import TableIO
+
+W = 3
+
+BATCH_A = [
+    (1, "a b c d e f"),
+    (2, "z a b c d q a b c d"),   # dup vs doc 1 + self-repeat
+    (3, "b c d e f g"),
+    (4, "n o p q r s"),           # unique until batch B arrives
+]
+BATCH_B = [
+    (10, "a b c d e f"),          # full dup of A's doc 1
+    (11, "n o p q r s t"),        # re-duplicates A-unique doc 4
+    (12, "u v w u v w u v w"),    # within-batch self-repeat only
+    (13, "h i j k l m"),          # genuinely novel
+]
+BATCH_C = [
+    (20, "a b c d z z z"),        # grams fragmented across A and B rows
+    (21, "fresh words only here"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _report(io, batch_id):
+    return {
+        r["doc_id"]: r["dup_words"]
+        for r in io.read("dup_report")
+        .filter(F.col("batch_id") == batch_id)
+        .collect()
+        if r["dup_words"] > 0
+    }
+
+
+def _batch_ref(spark, all_rows, keep_ids):
+    """Batch-form ground truth over the full corpus, restricted to one
+    batch's docs — what each batch's persisted report must equal."""
+    return {
+        r["doc_id"]: r["dup_words"]
+        for r in duplicated_token_mass(_df(spark, all_rows), window=W).collect()
+        if r["doc_id"] in keep_ids
+    }
+
+
+def test_sequential_appends_equal_batch_recompute(spark, tmp_path):
+    root = str(tmp_path / "w")
+    s1 = append_batch(spark, root, _df(spark, BATCH_A), "b-a", window=W)
+    s2 = append_batch(spark, root, _df(spark, BATCH_B), "b-b", window=W)
+    assert not s1["skipped"] and not s2["skipped"]
+    assert s1["n_docs"] == 4 and s2["n_docs"] == 4
+
+    io = TableIO(spark, root)
+    # batch A saw only itself; batch B saw A ∪ B.
+    assert _report(io, "b-a") == _batch_ref(spark, BATCH_A, {1, 2, 3, 4})
+    assert _report(io, "b-b") == _batch_ref(
+        spark, BATCH_A + BATCH_B, {10, 11, 12, 13}
+    )
+    # retraction-free contract: batch A's rows are frozen even though B
+    # re-duplicated A's doc 4 (its mass would grow under a recompute).
+    assert 4 not in _report(io, "b-a")
+    # corpus and index carry both batches.
+    assert io.read("corpus").count() == 8
+    n_grams_a = io.read("gram_index").filter(F.col("batch_id") == "b-a").count()
+    n_grams_b = io.read("gram_index").filter(F.col("batch_id") == "b-b").count()
+    assert n_grams_a > 0 and n_grams_b > 0
+
+
+def test_reappend_is_idempotent_noop(spark, tmp_path):
+    root = str(tmp_path / "w")
+    append_batch(spark, root, _df(spark, BATCH_A), "b-a", window=W)
+    io = TableIO(spark, root)
+    before = {t: io.read(t).count() for t in ("corpus", "gram_index", "dup_report")}
+
+    again = append_batch(spark, root, _df(spark, BATCH_A), "b-a", window=W)
+    assert again == {"batch_id": "b-a", "skipped": True}
+    after = {t: io.read(t).count() for t in ("corpus", "gram_index", "dup_report")}
+    assert after == before
+
+
+def test_crash_between_writes_resumes_to_same_state(spark, tmp_path):
+    """Simulate a crash after the corpus write but before gram_index and
+    dup_report: re-running append_batch completes the batch without
+    double-writing, and the final state equals an uncrashed run."""
+    crash_root = str(tmp_path / "crash")
+    clean_root = str(tmp_path / "clean")
+    for root in (crash_root, clean_root):
+        append_batch(spark, root, _df(spark, BATCH_A), "b-a", window=W)
+
+    # hand-write ONLY the corpus rows of batch B — the state after a crash
+    # one write into the corpus → gram_index → dup_report sequence.
+    io = TableIO(spark, crash_root)
+    io.write(
+        _df(spark, BATCH_B).select(F.lit("b-b").alias("batch_id"), "doc_id", "text"),
+        "corpus", mode="append",
+    )
+    resumed = append_batch(spark, crash_root, _df(spark, BATCH_B), "b-b", window=W)
+    assert not resumed["skipped"]
+
+    append_batch(spark, clean_root, _df(spark, BATCH_B), "b-b", window=W)
+    clean = TableIO(spark, clean_root)
+    for t in ("corpus", "gram_index", "dup_report"):
+        got = sorted(map(tuple, io.read(t).collect()))
+        want = sorted(map(tuple, clean.read(t).collect()))
+        assert got == want, t
+
+
+def test_fragmented_index_matches_compacted_and_rebuilt(spark, tmp_path):
+    """Between compactions a hot gram holds one row PER BATCH; the delta
+    must be invariant to that fragmentation, and compaction must collapse
+    to exactly the from-scratch index."""
+    root = str(tmp_path / "w")
+    append_batch(spark, root, _df(spark, BATCH_A), "b-a", window=W)
+    append_batch(spark, root, _df(spark, BATCH_B), "b-b", window=W)
+    io = TableIO(spark, root)
+
+    # precondition: the shared gram really is fragmented across 2 rows.
+    frag = (
+        io.read("gram_index").groupBy("gram_key")
+        .agg(F.count("*").alias("n"), F.sum("n_old").alias("n_old"))
+    )
+    assert frag.filter(F.col("n") >= 2).count() > 0
+
+    new = _df(spark, BATCH_C)
+    delta_frag = {
+        r["doc_id"]: r["dup_words"]
+        for r in incremental_duplicated_mass(
+            io.read("gram_index").select("gram_key", "n_old"), new, window=W
+        ).collect()
+    }
+    # ground truth #1: the same delta against a from-scratch index.
+    rebuilt = build_gram_index(_df(spark, BATCH_A + BATCH_B), window=W)
+    delta_rebuilt = {
+        r["doc_id"]: r["dup_words"]
+        for r in incremental_duplicated_mass(rebuilt, new, window=W).collect()
+    }
+    assert delta_frag == delta_rebuilt
+    # ground truth #2: the batch recompute restricted to the new docs.
+    assert delta_frag == _batch_ref(spark, BATCH_A + BATCH_B + BATCH_C, {20, 21})
+    assert 20 in delta_frag and 21 not in delta_frag
+
+    # compaction: one row per gram, counts preserved, delta unchanged.
+    summary = compact_gram_index(spark, root)
+    compacted = io.read("gram_index")
+    assert compacted.groupBy("gram_key").count().filter(F.col("count") > 1).count() == 0
+    assert summary["rows"] == compacted.count()
+    got = {
+        (r["gram_key"], r["n_old"])
+        for r in compacted.select("gram_key", "n_old").collect()
+    }
+    want = {(r["gram_key"], r["n_old"]) for r in rebuilt.collect()}
+    assert got == want
+    delta_compact = {
+        r["doc_id"]: r["dup_words"]
+        for r in incremental_duplicated_mass(
+            compacted.select("gram_key", "n_old"), new, window=W
+        ).collect()
+    }
+    assert delta_compact == delta_frag
+
+
+def test_compaction_abort_preserves_index(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "w")
+    append_batch(spark, root, _df(spark, BATCH_A), "b-a", window=W)
+    io = TableIO(spark, root)
+    before = sorted(map(tuple, io.read("gram_index").collect()))
+
+    import pdf_extraction_spark.plans.incremental as inc
+
+    real_read = TableIO.read
+
+    def corrupting(self, name, merge_schema=False):
+        df = real_read(self, name, merge_schema)
+        if name.endswith("__tmp"):
+            return df.limit(1)  # staged table loses rows → verify must abort
+        return df
+
+    monkeypatch.setattr(TableIO, "read", corrupting)
+    with pytest.raises(ValueError, match="compaction lost counts"):
+        inc.compact_gram_index(spark, root)
+    monkeypatch.undo()
+    assert sorted(map(tuple, io.read("gram_index").collect())) == before
