@@ -59,10 +59,38 @@ def main(argv=None) -> int:
              "partitions (checksum-verified; resumed/wave-committed runs "
              "fragment partitions into many small files)",
     )
+    ap.add_argument(
+        "--ingest", action="store_true",
+        help="INSTEAD of extraction: treat --input as a document batch "
+             "(doc_id, text) and append it to the persisted exact-substring "
+             "warehouse at --output (corpus / gram_index / dup_report tables; "
+             "plans/incremental.py). --run-id is the batch id — re-running "
+             "the same id is a no-op, a crashed run resumes",
+    )
+    ap.add_argument(
+        "--compact-index", action="store_true",
+        help="with --ingest: after the append, re-sum gram_index to one row "
+             "per gram (verified staged swap; delta results are invariant)",
+    )
     args = ap.parse_args(argv)
 
     from pdf_extraction_spark.plans.pipeline import run_extraction
     from pdf_extraction_spark.session import build_session
+
+    if args.ingest:
+        from pdf_extraction_spark.plans.incremental import (
+            append_batch,
+            compact_gram_index,
+        )
+
+        spark = build_session(app_name=f"ingest:{args.run_id}", master=args.master)
+        docs = spark.read.parquet(args.input).select("doc_id", "text")
+        summary = append_batch(spark, args.output, docs, batch_id=args.run_id)
+        if args.compact_index:
+            summary["index_compaction"] = compact_gram_index(spark, args.output)
+        print(json.dumps(summary))
+        spark.stop()
+        return 0
 
     spark = build_session(app_name=f"extract:{args.run_id}", master=args.master)
     transcripts = spark.read.parquet(args.input)

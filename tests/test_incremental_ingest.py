@@ -3,6 +3,8 @@
 writes are idempotent per batch_id, a crash between table writes resumes
 to the same final state, and index compaction is result-invariant."""
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -172,6 +174,46 @@ def test_fragmented_index_matches_compacted_and_rebuilt(spark, tmp_path):
         ).collect()
     }
     assert delta_compact == delta_frag
+
+
+def test_run_job_ingest_mode(spark, tmp_path, monkeypatch, capsys):
+    """The --ingest CLI path: append a batch per --run-id, idempotent
+    re-run, --compact-index compaction — driven through run_job.main()
+    with the session factory patched to the test session."""
+    import pdf_extraction_spark.session as sess
+    import run_job
+
+    monkeypatch.setattr(sess, "build_session", lambda **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    src_a = str(tmp_path / "batch_a")
+    src_b = str(tmp_path / "batch_b")
+    _df(spark, BATCH_A).write.parquet(src_a)
+    _df(spark, BATCH_B).write.parquet(src_b)
+    wh = str(tmp_path / "wh")
+
+    def run(argv):
+        assert run_job.main(argv) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    s1 = run(["--input", src_a, "--output", wh, "--run-id", "b-a", "--ingest"])
+    assert s1["n_docs"] == 4 and not s1["skipped"]
+    s1_again = run(["--input", src_a, "--output", wh, "--run-id", "b-a", "--ingest"])
+    assert s1_again["skipped"]
+    s2 = run(["--input", src_b, "--output", wh, "--run-id", "b-b",
+              "--ingest", "--compact-index"])
+    assert s2["n_docs"] == 4 and "index_compaction" in s2
+
+    io = TableIO(spark, wh)
+    assert io.read("corpus").count() == 8
+    # compaction ran: one row per gram, batch ids collapsed to the marker.
+    idx = io.read("gram_index")
+    assert idx.groupBy("gram_key").count().filter(F.col("count") > 1).count() == 0
+    assert {r["batch_id"] for r in idx.select("batch_id").distinct().collect()} \
+        == {"__compacted__"}
+    # note: the CLI window is the default SA_WINDOW (10 words), so these
+    # short fixtures report near-zero dup mass — the WINDOW-sensitive
+    # equality contracts are pinned by the direct append_batch tests above.
 
 
 def test_compaction_abort_preserves_index(spark, tmp_path, monkeypatch):

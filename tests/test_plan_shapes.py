@@ -189,6 +189,7 @@ def test_no_per_row_python_udfs_in_codebase():
         if ".collect()" in src and p.name not in (
             "checkpoint.py", "similarity.py", "review_queue.py", "dedup.py",
             "maintenance.py", "curation.py", "semdedup.py", "pipeline.py",
+            "incremental.py",
         ):
             # allowed: checkpoint.py (≤ n_buckets ledger rows),
             # similarity.py (k×dim IVF centroid matrix + 1 query vector),
@@ -202,7 +203,9 @@ def test_no_per_row_python_udfs_in_codebase():
             # centroid matrix),
             # pipeline.py (_write_metrics: route-grain metrics rows,
             # collected so ONE execution feeds both the metrics write and
-            # the op_metrics executed-plan capture) —
+            # the op_metrics executed-plan capture),
+            # incremental.py (one-row batch-summary aggregate per ingest +
+            # the one-scalar total-count compaction check) —
             # all metadata-sized driver state, never data rows
             offenders.append(f"{p}: collect outside ledger/centroids")
     assert not offenders, offenders
