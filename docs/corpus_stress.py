@@ -74,7 +74,9 @@ def main() -> None:
     total_words = docs.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
     out: dict = {"n_docs": n, "total_words": int(total_words), "cpus": cpus, "timings_s": {}}
 
-    # STRESS_OPS: comma-separated leg subset (default all) — lets a re-run
+    # STRESS_OPS: comma-separated leg subset (default all but 'ingest',
+    # which re-measures 6b's work through the table-backed warehouse and
+    # is run as an explicit pair at two STRESS_DOCS sizes) — lets a re-run
     # after an operator change re-measure just the affected leg
     ops = set(os.environ.get("STRESS_OPS", "chunk,tfidf,pack,sarray,filters,shard,incr").split(","))
 
@@ -231,6 +233,41 @@ def main() -> None:
         # stats pass (untimed; the class rows are already persisted)
         out["incr_new_gram_rows"] = gram_classes(new).count()
         release_caches()
+
+    # 6c. table-backed ingest (plans/incremental.py): the persisted-
+    # warehouse form of 6b. The base corpus is appended once ("ingest_base",
+    # the amortized cost), then the SAME fixed batch is appended as a real
+    # batch ("ingest_delta"), paying the parquet gram_index SCAN + delta +
+    # three table writes. Doubling STRESS_DOCS should ~double ingest_base
+    # while ingest_delta grows only by the index-scan share (columnar md5
+    # keys; bucket-pruned on a deployment's gram_key-bucketed table).
+    # Cross-check: delta dup_words must equal leg 6b's in-query number.
+    if "ingest" in ops:
+        import shutil
+
+        from pdf_extraction_spark.cache import release_caches
+        from pdf_extraction_spark.plans.incremental import append_batch
+        from pdf_extraction_spark.sources.tables import TableIO
+
+        root = os.environ.get("STRESS_INGEST_ROOT", "/dev/shm/stress_ingest")
+        shutil.rmtree(root, ignore_errors=True)
+        new_n = int(os.environ.get("STRESS_INCR_NEW", "10000"))
+        old = docs.filter(F.col("doc_id") >= new_n).select("doc_id", "text")
+        new = docs.filter(F.col("doc_id") < new_n).select("doc_id", "text")
+
+        base = timed("ingest_base", lambda: append_batch(spark, root, old, "base"))
+        release_caches()
+        delta = timed("ingest_delta", lambda: append_batch(spark, root, new, "delta"))
+        release_caches()
+        io = TableIO(spark, root)
+        out["ingest_base_docs"] = base["n_docs"]
+        out["ingest_delta_docs"] = delta["n_docs"]
+        out["ingest_delta_dup_words"] = delta["dup_words"]
+        out["ingest_index_rows"] = io.read("gram_index").count()
+        # idempotent re-append: table reads only, no recompute
+        skip = timed("ingest_delta_reappend", lambda: append_batch(spark, root, new, "delta"))
+        assert skip["skipped"], skip
+        shutil.rmtree(root, ignore_errors=True)
 
     # 6. shard manifest: map-only hash projection + one groupBy(shard)
     if "shard" in ops:
