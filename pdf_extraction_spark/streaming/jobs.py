@@ -13,6 +13,10 @@ are ≤100-file synchronous batches, reference app/routers/batch.py:15,
   checkpointLocation pair gives exactly-once sink semantics — the streaming
   twin of the batch pipeline's lineage ledger.
 
+- ``stream_ingest_gram_index`` : continuous form of the exact-substring
+  warehouse ingest (``plans/incremental.append_batch`` under foreachBatch;
+  per-epoch batch_id idempotency × checkpoint replay = exactly-once).
+
 Scale notes: the file source tracks processed files in the checkpoint (no
 re-listing races); ``maxFilesPerTrigger`` bounds per-micro-batch memory; at
 real scale the source becomes Kafka/Iceberg-CDC with identical plan shape.
@@ -333,5 +337,56 @@ def stream_dedup_turns_continuous(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .trigger(processingTime=trigger_interval)
+        .start()
+    )
+
+
+DOCS_SCHEMA = "doc_id bigint, text string"
+
+
+def stream_ingest_gram_index(
+    spark: SparkSession,
+    src_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    stream_id: str = "stream",
+    max_files_per_trigger: int = 8,
+    window: int | None = None,
+):
+    """Continuous form of ``plans/incremental.append_batch``: each
+    micro-batch of landed documents is appended to the persisted
+    exact-substring warehouse (corpus / gram_index / dup_report), its
+    duplicated-token mass computed against everything ingested BEFORE it.
+
+    Exactly-once composes from both ends: the file source replays a failed
+    micro-batch with the SAME epoch id from the checkpoint, and
+    append_batch's per-table ``batch_id = {stream_id}-{epoch_id}``
+    idempotency turns the replay into a no-op — the foreachBatch analogue
+    of the batch CLI's --run-id resume. ``stream_id`` namespaces epochs so
+    a checkpoint reset (which restarts epoch numbering at 0) cannot alias
+    an already-ingested batch unless the caller keeps the same id on
+    purpose (the recovery semantics the test pins)."""
+    from pdf_extraction_spark.plans.incremental import append_batch
+    from pdf_extraction_spark.operators.sarray import SA_WINDOW
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        append_batch(
+            batch_df.sparkSession,
+            warehouse_root,
+            batch_df,
+            batch_id=f"{stream_id}-{epoch_id}",
+            window=window if window is not None else SA_WINDOW,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
         .start()
     )

@@ -216,6 +216,49 @@ def test_run_job_ingest_mode(spark, tmp_path, monkeypatch, capsys):
     # equality contracts are pinned by the direct append_batch tests above.
 
 
+def test_stream_ingest_matches_sequential_appends(spark, tmp_path):
+    """Structured-Streaming ingest == the batch API: two landing waves
+    become two epochs whose warehouse state equals sequential
+    append_batch calls; a checkpoint reset replays epoch 0 under the
+    same stream id and the batch_id idempotency makes it a no-op."""
+    from pdf_extraction_spark.streaming.jobs import stream_ingest_gram_index
+
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    wh_s = str(tmp_path / "wh_stream")
+    wh_b = str(tmp_path / "wh_batch")
+
+    append_batch(spark, wh_b, _df(spark, BATCH_A), "b-a", window=W)
+    append_batch(spark, wh_b, _df(spark, BATCH_B), "b-b", window=W)
+
+    def run_wave(checkpoint):
+        q = stream_ingest_gram_index(spark, src, wh_s, checkpoint, window=W)
+        q.awaitTermination(120)
+
+    _df(spark, BATCH_A).coalesce(1).write.mode("append").parquet(src)
+    run_wave(ckpt)                      # epoch 0 = batch A
+    _df(spark, BATCH_B).coalesce(1).write.mode("append").parquet(src)
+    run_wave(ckpt)                      # epoch 1 = batch B (checkpoint skips A)
+
+    io_s, io_b = TableIO(spark, wh_s), TableIO(spark, wh_b)
+    for t, cols in (
+        ("corpus", ["doc_id", "text"]),
+        ("gram_index", ["gram_key", "n_old"]),
+        ("dup_report", ["doc_id", "n_words", "dup_words"]),
+    ):
+        got = sorted(map(tuple, io_s.read(t).select(*cols).collect()))
+        want = sorted(map(tuple, io_b.read(t).select(*cols).collect()))
+        assert got == want, t
+    epochs = {r["batch_id"] for r in io_s.read("dup_report").select("batch_id").distinct().collect()}
+    assert epochs == {"stream-0", "stream-1"}
+
+    # checkpoint reset: epoch numbering restarts at 0, both waves land in
+    # one replayed micro-batch — already-ingested 'stream-0' short-circuits.
+    before = io_s.read("dup_report").count()
+    run_wave(str(tmp_path / "ckpt2"))
+    assert io_s.read("dup_report").count() == before
+
+
 def test_compaction_abort_preserves_index(spark, tmp_path, monkeypatch):
     root = str(tmp_path / "w")
     append_batch(spark, root, _df(spark, BATCH_A), "b-a", window=W)
