@@ -415,12 +415,16 @@ def build_gram_index(
     return counts.localCheckpoint(eager=True)
 
 
+INDEX_BROADCAST_KEY_CAP = 2_000_000  # ~128 MB of md5 keys — safe executor broadcast
+
+
 def incremental_duplicated_mass(
     index_counts: DataFrame,
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = SA_WINDOW,
+    broadcast_key_cap: int = INDEX_BROADCAST_KEY_CAP,
 ) -> DataFrame:
     """Exact duplicated-token mass for the NEW batch against (old corpus ∪
     new batch), from the persisted index alone: a new-doc window is
@@ -442,14 +446,28 @@ def incremental_duplicated_mass(
     # build shape, so Spark falls back to a sort-merge join.
     within = new_counts.filter(F.col("n_new") >= 2).select("gram_key")
     single = new_counts.filter(F.col("n_new") == 1).select("gram_key")
-    # distinct: the index may hold MULTIPLE rows per gram — the append-only
-    # ingest (plans/incremental.py) appends one pre-aggregated row per gram
-    # PER BATCH and compacts periodically, so between compactions a hot
-    # gram matches several index rows; without the distinct each extra row
-    # would duplicate the gram's occurrence explosion downstream. Costs one
-    # O(|new dup keys|) shuffle — batch-bounded.
-    matched = (index_counts.join(F.broadcast(single), "gram_key", "inner")
-               .select("gram_key").distinct())
+    # The broadcast is only sound while the SINGLE-occurrence key set is
+    # batch-sized: a bulk load (a 500k-doc initial batch carries ~20M
+    # distinct grams, >1 GB serialized) OOMs the driver-side broadcast
+    # build (observed at the 500k ingest stress). Counting `single` costs
+    # one batch-bounded partial-agg job over the persisted class rows;
+    # above the cap the lookup degrades to a shuffled join — one extra
+    # exchange, still exact. The empty-index bulk-load case (the ingest
+    # plan's first append) skips the lookup entirely: nothing can match.
+    n_single = single.count()
+    if n_single == 0 or index_counts.isEmpty():
+        matched = single.limit(0)
+    else:
+        lookup = F.broadcast(single) if n_single <= broadcast_key_cap else single
+        # distinct: the index may hold MULTIPLE rows per gram — the
+        # append-only ingest (plans/incremental.py) appends one
+        # pre-aggregated row per gram PER BATCH and compacts periodically,
+        # so between compactions a hot gram matches several index rows;
+        # without the distinct each extra row would duplicate the gram's
+        # occurrence explosion downstream. Costs one O(|new dup keys|)
+        # shuffle — batch-bounded.
+        matched = (index_counts.join(lookup, "gram_key", "inner")
+                   .select("gram_key").distinct())
     dup_keys = (
         within.unionByName(matched)  # disjoint by construction
         # O(|new-batch duplicated grams|) rows. Checkpointing here makes

@@ -5,7 +5,9 @@ oracle; this module is the table-backed form where per-batch cost is
 genuinely O(|new| + matched index rows)).
 
 Warehouse layout (all through the TableIO seam — parquet fallback here,
-Iceberg tables with ``bucket(n, gram_key)`` partitioning on a cluster):
+Iceberg tables with ``bucket(n, gram_key)`` partitioning on a cluster).
+Every table is partitioned by batch_id so the idempotency probe is a
+partition-pruned read of ONE directory, never a table scan:
 
 - ``corpus``     : (batch_id, doc_id, text) — accepted documents.
 - ``gram_index`` : (batch_id, gram_key, n_old) — exact-substring gram
@@ -44,10 +46,19 @@ _INDEX_SCHEMA = "batch_id string, gram_key string, n_old bigint"
 
 
 def _has_batch(io: TableIO, table: str, batch_id: str) -> bool:
+    """Partition-pruned existence probe: every warehouse table is
+    partitioned by batch_id, so the filter lists only the one directory
+    (O(1) in table size — a full-column scan here would cost O(corpus)
+    per append at deployment scale). cast('string') pins the comparison
+    against partition-column type inference on numeric-looking ids."""
     if not io.exists(table):
         return False
     return (
-        io.read(table).filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+        io.read(table)
+        .filter(F.col("batch_id").cast("string") == batch_id)
+        .limit(1)
+        .count()
+        > 0
     )
 
 
@@ -89,7 +100,7 @@ def append_batch(
     if not _has_batch(io, "corpus", batch_id):
         io.write(
             new_docs.select(F.lit(batch_id).alias("batch_id"), "doc_id", "text"),
-            "corpus", mode="append",
+            "corpus", mode="append", partition_by=["batch_id"],
         )
     if not _has_batch(io, "gram_index", batch_id):
         adds = (
@@ -98,8 +109,8 @@ def append_batch(
             .agg(F.sum("n_local").alias("n_old"))
             .select(F.lit(batch_id).alias("batch_id"), "gram_key", "n_old")
         )
-        io.write(adds, "gram_index", mode="append")
-    io.write(report, "dup_report", mode="append")
+        io.write(adds, "gram_index", mode="append", partition_by=["batch_id"])
+    io.write(report, "dup_report", mode="append", partition_by=["batch_id"])
 
     stats = report.agg(
         F.count("*").alias("n_docs"), F.sum("dup_words").alias("dup_words")
@@ -131,6 +142,6 @@ def compact_gram_index(spark: SparkSession, root: str) -> dict:
         if got != total:
             raise ValueError(f"compaction lost counts: {got} != {total}")
 
-    io.rewrite(compacted, "gram_index", verify=verify)
+    io.rewrite(compacted, "gram_index", partition_by=["batch_id"], verify=verify)
     n = io.read("gram_index").count()
     return {"rows": int(n), "total_count": int(total)}

@@ -216,6 +216,31 @@ def test_run_job_ingest_mode(spark, tmp_path, monkeypatch, capsys):
     # equality contracts are pinned by the direct append_batch tests above.
 
 
+def test_idempotency_probe_is_partition_pruned(spark, tmp_path):
+    """The batch-existence probe must read ONE batch_id partition, not
+    scan the table: at deployment scale dup_report has a row per ingested
+    document, and an O(table) probe per append would defeat the
+    O(|new| + matched) cost model."""
+    root = str(tmp_path / "w")
+    append_batch(spark, root, _df(spark, BATCH_A), "b-a", window=W)
+    append_batch(spark, root, _df(spark, BATCH_B), "b-b", window=W)
+
+    io = TableIO(spark, root)
+    probe = (
+        io.read("dup_report")
+        .filter(F.col("batch_id").cast("string") == "b-a")
+        .limit(1)
+    )
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "batch_id" in m.group(1), plan
+    assert probe.count() == 1
+
+
 def test_stream_ingest_matches_sequential_appends(spark, tmp_path):
     """Structured-Streaming ingest == the batch API: two landing waves
     become two epochs whose warehouse state equals sequential

@@ -142,6 +142,60 @@ def test_incremental_mass_equals_batch(spark, n_parts):
     assert 13 not in inc     # novel doc has zero mass (no row)
 
 
+def test_incremental_bulk_load_and_cap_fallback(spark):
+    """The two non-broadcast lookup paths added after the 500k ingest
+    stress OOM'd the driver-side broadcast build: (a) an EMPTY index (the
+    ingest plan's first bulk load) skips the lookup and must equal the
+    batch recompute over the batch alone; (b) above broadcast_key_cap the
+    lookup degrades to a shuffled join with bit-identical results and no
+    broadcast of the key set in the plan."""
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.sarray import (
+        build_gram_index,
+        incremental_duplicated_mass,
+    )
+
+    w = 3
+    corpus = [
+        (1, "a b c d e f"),
+        (2, "z a b c d q a b c d"),
+        (3, "b c d e f g"),
+        (10, "a b c d e f"),
+        (11, "u v w u v w u v w"),
+        (12, "h i j k l m"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    new = df.filter(F.col("doc_id") >= 10)
+
+    # (a) bulk load: empty index == batch form over the batch alone
+    empty = spark.createDataFrame([], "gram_key string, n_old bigint")
+    got = {
+        r["doc_id"]: r["dup_words"]
+        for r in incremental_duplicated_mass(empty, new, window=w).collect()
+    }
+    want = {
+        r["doc_id"]: r["dup_words"]
+        for r in duplicated_token_mass(new, window=w).collect()
+    }
+    assert got == want and 11 in got and 12 not in got
+
+    # (b) cap fallback: cap=0 forces the shuffled (un-hinted) lookup —
+    # masses must be bit-identical to the broadcast path
+    index = build_gram_index(df.filter(F.col("doc_id") < 10), window=w)
+    by_cap = {
+        cap: {
+            r["doc_id"]: r["dup_words"]
+            for r in incremental_duplicated_mass(
+                index, new, window=w, broadcast_key_cap=cap
+            ).collect()
+        }
+        for cap in (0, 10**6)
+    }
+    assert by_cap[0] == by_cap[10**6]
+    assert by_cap[0][10] == 6  # cross old-new duplicate survives both paths
+
+
 def test_dup_mass_small_window_interval_union(spark):
     """Window W=3 with overlapping duplicated spans: the running-max
     interval union must not double-count overlapping windows."""
