@@ -86,9 +86,15 @@ def append_batch(
         index = spark.createDataFrame([], _INDEX_SCHEMA).select("gram_key", "n_old")
 
     mass = incremental_duplicated_mass(index, new_docs, window=window)
+    # shuffle_hash: never broadcast the mass side — on a BULK LOAD it is
+    # corpus-sized, and even batch-sized it drags the whole coverage
+    # lineage into a driver-side broadcast build that competes with the
+    # cached gram stage for the same heap (observed OOM at the 500k
+    # ingest stress). A doc_id-keyed shuffle between two batch-sized
+    # relations is cheap and its memory use is bounded per task.
     report = (
         new_docs.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n_words"))
-        .join(mass, "doc_id", "left")
+        .join(mass.hint("shuffle_hash"), "doc_id", "left")
         .select(
             F.lit(batch_id).alias("batch_id"),
             "doc_id",
@@ -112,9 +118,15 @@ def append_batch(
         io.write(adds, "gram_index", mode="append", partition_by=["batch_id"])
     io.write(report, "dup_report", mode="append", partition_by=["batch_id"])
 
-    stats = report.agg(
-        F.count("*").alias("n_docs"), F.sum("dup_words").alias("dup_words")
-    ).collect()[0]
+    # summarize from the WRITTEN table (partition-pruned to this batch):
+    # aggregating the `report` plan would re-execute the entire coverage
+    # computation a second time — the write is the only full pass.
+    stats = (
+        io.read("dup_report")
+        .filter(F.col("batch_id").cast("string") == batch_id)
+        .agg(F.count("*").alias("n_docs"), F.sum("dup_words").alias("dup_words"))
+        .collect()[0]
+    )
     return {
         "batch_id": batch_id,
         "skipped": False,
