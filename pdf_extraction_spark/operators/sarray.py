@@ -476,8 +476,18 @@ def incremental_duplicated_mass(
         # re-run the new-batch suffix-array stage (see build_gram_index).
         .localCheckpoint(eager=True)
     )
+    # The same batch-sized-only discipline applies to the join-back: Spark
+    # auto-broadcasts the materialized dup_keys when its byte size clears
+    # the threshold, and on a BULK LOAD dup_keys is corpus-scale (~10M md5
+    # rows at the 500k stress — the third driver-heap broadcast OOM that
+    # run surfaced). The checkpoint is eager, so counting it is free;
+    # broadcast explicitly when delta-sized, force the shuffle otherwise.
+    if dup_keys.count() <= broadcast_key_cap:
+        join_keys = F.broadcast(dup_keys)
+    else:
+        join_keys = dup_keys.hint("shuffle_hash")
     starts = (
-        new_classes.join(dup_keys, "gram_key")
+        new_classes.join(join_keys, "gram_key")
         .select(F.explode(F.arrays_zip("occ_d", "occ_o")).alias("oc"))
         .select(F.col("oc.occ_d").alias(id_col), F.col("oc.occ_o").alias("off"))
     )
