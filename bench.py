@@ -309,9 +309,11 @@ def main() -> None:
         attempt_timings.append((timings, total))
         if steady:
             break
-        print(f"# sweep attempt {s_attempt}: calib {calib_b} -> {calib_a} "
-              f"(>{max_decay:.0%} drift); re-measuring", file=sys.stderr)
-        _wait_for_quiet_box()
+        n_sweeps = 1 if os.environ.get("BENCH_NO_GATE") else 2
+        if s_attempt < n_sweeps - 1:  # no cooldown/promise after the last try
+            print(f"# sweep attempt {s_attempt}: calib {calib_b} -> {calib_a} "
+                  f"(>{max_decay:.0%} drift); re-measuring", file=sys.stderr)
+            _wait_for_quiet_box()
 
     # select the steady attempt (loop breaks on it = the last one); if NONE
     # was steady, select the FASTEST attempt, not the last: phantom box load

@@ -442,7 +442,7 @@ FROM per_src, tot ORDER BY source
 # curated corpus a DETERMINISTIC global pseudorandom order (md5 of the doc
 # key — no RNG, reproducible across reruns/engines, membership stable under
 # corpus growth, same construction as sampling.hash_fraction) and assign
-# each doc to one of N_SHARDS output shards. Shard = top-28-bits-of-md5 MOD
+# each doc to one of N_SHARDS output shards. Shard = top-60-bits-of-md5 MOD
 # N_SHARDS: statistically balanced (each shard gets a uniform slice of the
 # hash space) and exactly reproducible in DuckDB — unlike Spark's
 # repartitionByRange, whose sampled range boundaries are not deterministic.

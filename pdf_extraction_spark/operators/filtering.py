@@ -67,6 +67,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_extraction_spark.cache import track
 from pdf_extraction_spark.sources.tables import load_testdata as T
 
 # ---------------------------------------------------------------- DSIR
@@ -100,7 +101,7 @@ def dsir_scores(docs: DataFrame, target: F.Column) -> DataFrame:
     ex = docs.select(
         "doc_id", target.alias("is_target"), F.explode(_bigram_buckets(words)).alias("b")
     )
-    ex = ex.persist()  # feeds the distribution fit AND the per-doc scoring
+    ex = track(ex.persist())  # feeds the distribution fit AND the per-doc scoring
 
     dist = ex.groupBy("b").agg(
         F.count("*").alias("c_raw"),
@@ -337,7 +338,7 @@ def ccnet_scores(docs: DataFrame) -> DataFrame:
     corpus average."""
     words = F.split(F.lower(F.col("text")), " ")
     ex = docs.select("doc_id", F.explode(words).alias("w"))
-    ex = ex.persist()  # LM fit + per-doc scoring share the explode
+    ex = track(ex.persist())  # LM fit + per-doc scoring share the explode
 
     counts = ex.groupBy("w").agg(F.count("*").alias("c"))
     totals = counts.agg(F.sum("c").alias("t")).withColumn("k", F.lit(1))

@@ -425,14 +425,22 @@ def incremental_duplicated_mass(
     text_col: str = "text",
     window: int = SA_WINDOW,
     broadcast_key_cap: int = INDEX_BROADCAST_KEY_CAP,
+    new_classes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicated-token mass for the NEW batch against (old corpus ∪
     new batch), from the persisted index alone: a new-doc window is
     duplicated iff its gram's global count n_new + n_old ≥ 2 — which
     covers within-batch repeats (n_new ≥ 2) and old-corpus matches
     (n_old ≥ 1) exactly as the batch recompute would. Equality with the
-    batch form restricted to new docs is pinned in tests/test_sarray.py."""
-    new_classes = gram_classes(new_docs, id_col, text_col, window)
+    batch form restricted to new docs is pinned in tests/test_sarray.py.
+
+    ``new_classes``: optionally pass the batch's gram_classes frame when
+    the caller also consumes it (plans/incremental.append_batch derives
+    the index adds from the same rows) — sharing the literal DataFrame
+    guarantees ONE Arrow stage instead of leaning on plan-level cache
+    substitution."""
+    if new_classes is None:
+        new_classes = gram_classes(new_docs, id_col, text_col, window)
     new_counts = new_classes.groupBy("gram_key").agg(F.sum("n_local").alias("n_new"))
     # A gram qualifies iff n_new + n_old ≥ 2 ⟺ n_new ≥ 2 (within-batch
     # repeat, no index contact needed) OR n_new == 1 AND the gram exists

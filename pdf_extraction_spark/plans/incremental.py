@@ -81,11 +81,29 @@ def append_batch(
         return {"batch_id": batch_id, "skipped": True}
 
     if io.exists("gram_index"):
-        index = io.read("gram_index").select("gram_key", "n_old")
+        # exclude THIS batch's rows: a crash between the gram_index write
+        # and the dup_report write would otherwise resume against an index
+        # that already contains the batch's own grams — every single-
+        # occurrence gram would match itself and the persisted report
+        # would inflate (novel docs gaining phantom dup mass). The filter
+        # is a no-op on a clean run and partition-pruned either way.
+        index = (
+            io.read("gram_index")
+            .filter(F.col("batch_id").cast("string") != batch_id)
+            .select("gram_key", "n_old")
+        )
     else:
         index = spark.createDataFrame([], _INDEX_SCHEMA).select("gram_key", "n_old")
 
-    mass = incremental_duplicated_mass(index, new_docs, window=window)
+    # ONE gram stage for the whole ingest: the same class rows feed the
+    # delta mass AND the index adds (passing the frame down avoids a
+    # second tracked persist that only deduplicates via plan-level cache
+    # substitution — the mechanism documented as unreliable on re-aliased
+    # branches in build_gram_index).
+    cls = gram_classes(new_docs, window=window)
+    mass = incremental_duplicated_mass(
+        index, new_docs, window=window, new_classes=cls
+    )
     # shuffle_hash: never broadcast the mass side — on a BULK LOAD it is
     # corpus-sized, and even batch-sized it drags the whole coverage
     # lineage into a driver-side broadcast build that competes with the
@@ -110,8 +128,7 @@ def append_batch(
         )
     if not _has_batch(io, "gram_index", batch_id):
         adds = (
-            gram_classes(new_docs, window=window)
-            .groupBy("gram_key")
+            cls.groupBy("gram_key")
             .agg(F.sum("n_local").alias("n_old"))
             .select(F.lit(batch_id).alias("batch_id"), "gram_key", "n_old")
         )

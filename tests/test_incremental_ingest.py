@@ -95,22 +95,36 @@ def test_reappend_is_idempotent_noop(spark, tmp_path):
     assert after == before
 
 
-def test_crash_between_writes_resumes_to_same_state(spark, tmp_path):
-    """Simulate a crash after the corpus write but before gram_index and
-    dup_report: re-running append_batch completes the batch without
-    double-writing, and the final state equals an uncrashed run."""
+@pytest.mark.parametrize("crash_after", ["corpus", "gram_index"])
+def test_crash_between_writes_resumes_to_same_state(spark, tmp_path, crash_after):
+    """Simulate a crash one OR two writes into the corpus → gram_index →
+    dup_report sequence: re-running append_batch completes the batch
+    without double-writing, and the final state equals an uncrashed run.
+    The gram_index crash point is the sharp one: the resumed delta must
+    NOT count the batch against its own already-written index rows
+    (novel docs would gain phantom dup mass — caught in review, now
+    excluded by the batch_id != current filter on the index read)."""
     crash_root = str(tmp_path / "crash")
     clean_root = str(tmp_path / "clean")
     for root in (crash_root, clean_root):
         append_batch(spark, root, _df(spark, BATCH_A), "b-a", window=W)
 
-    # hand-write ONLY the corpus rows of batch B — the state after a crash
-    # one write into the corpus → gram_index → dup_report sequence.
     io = TableIO(spark, crash_root)
     io.write(
         _df(spark, BATCH_B).select(F.lit("b-b").alias("batch_id"), "doc_id", "text"),
-        "corpus", mode="append",
+        "corpus", mode="append", partition_by=["batch_id"],
     )
+    if crash_after == "gram_index":
+        from pdf_extraction_spark.operators.sarray import gram_classes
+
+        adds = (
+            gram_classes(_df(spark, BATCH_B), window=W)
+            .groupBy("gram_key")
+            .agg(F.sum("n_local").alias("n_old"))
+            .select(F.lit("b-b").alias("batch_id"), "gram_key", "n_old")
+        )
+        io.write(adds, "gram_index", mode="append", partition_by=["batch_id"])
+
     resumed = append_batch(spark, crash_root, _df(spark, BATCH_B), "b-b", window=W)
     assert not resumed["skipped"]
 
@@ -120,6 +134,13 @@ def test_crash_between_writes_resumes_to_same_state(spark, tmp_path):
         got = sorted(map(tuple, io.read(t).collect()))
         want = sorted(map(tuple, clean.read(t).collect()))
         assert got == want, t
+    # the novel doc must stay at zero dup mass after either resume
+    novel = (
+        io.read("dup_report")
+        .filter((F.col("doc_id") == 13) & (F.col("dup_words") > 0))
+        .count()
+    )
+    assert novel == 0
 
 
 def test_fragmented_index_matches_compacted_and_rebuilt(spark, tmp_path):
