@@ -31,23 +31,26 @@ from pdf_extraction_spark.operators import (  # noqa: F401
 # regardless of position is still verified by the in-repo mirror
 # (tests/test_oracle_queries.py, all entries vs DuckDB at sf0.001).
 _PRIORITY = [
-    # new in r5 — first driver check
-    "incremental_exact_substring",
-    "dsir_importance_sample", "gopher_quality_filters",
-    "ccnet_perplexity_filter", "split_leakage_audit",
-    "line_quality_filters",
-    "dedup_bloom_prefilter", "mixture_epoch_plan", "shard_manifest",
-    # last driver-green in r03, rotated out of the 50-entry r04 window by
-    # the r4 reorder (VERDICT r4 item 1: no query goes two rounds without a
-    # driver row) — these 25 lead; the r04-greened families fill the tail
-    "dedup_minhash_lsh", "dedup_incremental_lsh", "dedup_simhash_buckets",
-    "dedup_clusters", "dedup_cluster_best", "ann_cosine_topk",
-    "ann_lsh_buckets", "embedding_neardup_pairs", "neardup_bucketed_pairs",
-    "ann_ivf_recall", "ann_lsh_topk", "lang_id", "text_quality",
-    "token_count", "doc_fingerprint", "sessionize", "dedup_consecutive",
-    "vocab_stats", "repetition_stats", "multimodal_features",
-    "multimodal_transform", "unpivot_event_matrix", "asof_join",
-    "asof_join_broadcast", "pivot_event_types",
+    # oracles CHANGED this round (r6) — re-verify first: the two r5
+    # hash-fails (CAST(... AS BIGINT) added, VERDICT r5 item 1) and the
+    # semdedup pair (fixed k=16 → data-dependent k = max(16, n//256) with a
+    # scalar-subquery LIMIT in the oracle, VERDICT r5 item 3)
+    "dsir_importance_sample", "ccnet_perplexity_filter",
+    "semantic_dedup", "semantic_dedup_stats",
+    # r04-green but outside the r05 50-entry window — two rounds stale by
+    # r6 without a row here (VERDICT r5 item 4: no registry entry without a
+    # driver-green row in r05 ∪ r06)
+    "rollup_order_stats", "review_pending", "backfill_update_join",
+    "cube_order_stats", "moving_avg_events", "except_intersect_users",
+    "tpch_q5_regional_revenue", "sanitize_filenames", "dedup_exact",
+    "ann_ivf_topk", "exam_flatten", "salted_join_user_stats",
+    "stratified_sample", "redact_pii", "contamination_check",
+    "session_window_stats", "sketch_accuracy", "funnel_view_click_purchase",
+    "topk_per_group", "value_histogram", "value_percentiles",
+    "range_join_windows", "text_embed_neardup", "assemble_training_records",
+    "scd2_user_segments", "pack_sequences", "tfidf_top_terms",
+    "chunk_dedup_stats", "source_mix_sample", "adaptive_length_filter",
+    "suffix_array_dedup", "top_duplicated_grams",
 ]
 
 

@@ -185,7 +185,7 @@ weights AS (
   FROM dist, tot
 ),
 scored AS (
-  SELECT ex.doc_id, sum(wt.r_micro) AS score_micro_nats
+  SELECT ex.doc_id, CAST(sum(wt.r_micro) AS BIGINT) AS score_micro_nats
   FROM ex JOIN weights wt USING (b)
   GROUP BY ex.doc_id
 )
@@ -442,7 +442,7 @@ tiered AS (
 )
 SELECT tier, count(*) AS n_docs,
        min(nll_nano) AS min_nll_nano, max(nll_nano) AS max_nll_nano,
-       sum(nll_nano * n_words) AS mass_nano
+       CAST(sum(nll_nano * n_words) AS BIGINT) AS mass_nano
 FROM tiered
 GROUP BY tier ORDER BY tier
 """

@@ -7,10 +7,12 @@ semantic-duplicate group.
 
 This implementation keeps every stage deterministic and oracle-checkable:
 
-- centroids  : the SEM_K embeddings with the smallest vec_id — the same
-               first-k init `ivf_train` uses, with ZERO Lloyd iterations,
-               so no float averaging enters and the centroid matrix is a
-               pure function of the table.
+- centroids  : the k = max(SEM_K, n // SEM_WIDTH) embeddings with the
+               smallest vec_id — the same first-k init `ivf_train` uses,
+               with ZERO Lloyd iterations, so no float averaging enters
+               and the centroid matrix is a pure function of the table
+               (k itself is a pure function of the table's row count,
+               mirrored by a scalar-subquery LIMIT in the oracle).
 - assignment : nearest centroid under INTEGER-QUANTIZED squared distance
                (round(x*10⁴) per component, exact int64 — |Σ(qx−qc)²| ≪
                2⁶³), ties to the lowest centroid index: bit-identical in
@@ -27,10 +29,12 @@ This implementation keeps every stage deterministic and oracle-checkable:
 
 Scale notes (100 TB): the all-pairs comparison never happens — the
 self-join is keyed on the cluster id, so the shuffle is one hash exchange
-and the comparison cost is Σ|cluster|², bounded by choosing k ∝ n /
-target_cluster_width (here k=16 for the fixed 500-2000-vector test
-corpus; a 10⁹-vector deployment trains k~10⁶ coarse centroids with
-`ivf_train` and assigns with the same one-matmul-per-batch UDF). Skewed
+and the comparison cost is Σ|cluster|², bounded because the REGISTERED
+query runs k = max(SEM_K, n // SEM_WIDTH) — k ∝ n, so Σ|cluster|² ≈
+n · SEM_WIDTH, linear in corpus size (resolves to k=16 on the
+500-2000-vector test corpus; a 10⁹-vector deployment trains k~10⁶ coarse
+centroids with `ivf_train` and assigns with the same
+one-matmul-per-batch UDF). Skewed
 clusters fall under AQE skew-join handling; the component step touches
 only vertices of threshold-passing pairs (sparse by construction).
 
@@ -58,6 +62,20 @@ from pdf_extraction_spark.sources.tables import load_testdata as T
 
 SEM_K = 16
 SEM_TAU = 0.35
+# Target mean cluster width for the DEFAULT centroid count: the registered
+# queries run k = max(SEM_K, n_vectors // SEM_WIDTH), so the within-cluster
+# comparison volume Σ|c|² ≈ n · SEM_WIDTH stays LINEAR in corpus size
+# instead of quadratic at fixed k. At the driver's test scale factors
+# (500-2000 vectors) this resolves to k = SEM_K = 16, so every oracle stays
+# bit-identical; the escalation leg is pinned by
+# tests/test_semdedup.py::test_default_k_scales_with_corpus.
+SEM_WIDTH = 256
+
+
+def sem_k_for(n_vectors: int) -> int:
+    """Data-dependent centroid count: k = max(SEM_K, n // SEM_WIDTH).
+    Mirrored bit-for-bit by the oracle's scalar-subquery LIMIT."""
+    return max(SEM_K, n_vectors // SEM_WIDTH)
 
 
 def _nearest_centroid_q(centroids):
@@ -79,6 +97,32 @@ def _nearest_centroid_q(centroids):
     return assign
 
 
+def semantic_assign(spark: SparkSession, sf: str, centroids=None,
+                    embeddings: DataFrame | None = None) -> DataFrame:
+    """Assignment stage alone: (vec_id, embedding, sem_cluster), persisted.
+    When ``centroids`` is None the DEFAULT, driver-checked path derives
+    k = sem_k_for(n) from the corpus itself (one 1-row count + k tiny rows
+    on the driver). k grows ∝ n, so the driver-held centroid matrix is
+    n/SEM_WIDTH × dim — at 10⁹ vectors that is ~4M rows, past the point
+    where a deployment flips to the `ivf_train` escalation seam (trained
+    coarse centroids, same assignment UDF); the registered form stays
+    non-quadratic either way."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = valid_embeddings(embeddings if embeddings is not None
+                           else T(spark, sf, "embeddings"))
+    if centroids is None:
+        k = sem_k_for(emb.count())
+        cent_rows = emb.orderBy("vec_id").limit(k).select("embedding").collect()
+        centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    # assigned feeds both self-join sides, the component join-back, and the
+    # stats rollup — persist once
+    return track(
+        emb.withColumn("sem_cluster", _nearest_centroid_q(centroids)(F.col("embedding")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def semantic_members(spark: SparkSession, sf: str, centroids=None,
                      embeddings: DataFrame | None = None,
                      quality: DataFrame | None = None,
@@ -89,8 +133,8 @@ def semantic_members(spark: SparkSession, sf: str, centroids=None,
     semantic-duplicate group.
 
     ``centroids`` (optional, k × dim) is the k ∝ n ESCALATION SEAM: the
-    oracle path uses the default first-SEM_K deterministic centroids
-    (bit-reproducible in SQL), while a large deployment passes
+    oracle path uses the default first-sem_k_for(n) deterministic
+    centroids (bit-reproducible in SQL), while a large deployment passes
     `similarity.ivf_train`-produced k-means centroids (k ~ n /
     target_cluster_width, e.g. k=256+ — same one-matmul-per-batch
     assignment UDF) so Σ|cluster|² stays bounded as the corpus grows —
@@ -101,19 +145,8 @@ def semantic_members(spark: SparkSession, sf: str, centroids=None,
     feature-hashed text embeddings through this seam. ``quality``
     (optional, (vec_id, n_chars)) overrides the keeper-quality source the
     same way; ``tau`` the duplicate-cosine threshold."""
-    from pyspark.storagelevel import StorageLevel
-
-    emb = valid_embeddings(embeddings if embeddings is not None
-                           else T(spark, sf, "embeddings"))
-    if centroids is None:
-        cent_rows = emb.orderBy("vec_id").limit(SEM_K).select("embedding").collect()  # k tiny rows
-        centroids = [[float(x) for x in r["embedding"]] for r in cent_rows]
-    # assigned feeds both self-join sides, the component join-back, and the
-    # stats rollup — persist once
-    assigned = track(
-        emb.withColumn("sem_cluster", _nearest_centroid_q(centroids)(F.col("embedding")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    assigned = semantic_assign(spark, sf, centroids=centroids,
+                               embeddings=embeddings)
     a = assigned.select(
         "sem_cluster", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
     )
@@ -209,7 +242,12 @@ def _qd(x: str, y: str) -> str:
 _SQL_SEM_COMMON = f"""
 WITH cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {SEM_K})
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {DIM}
+        ORDER BY vec_id
+        LIMIT (SELECT greatest({SEM_K}, count(*) // {SEM_WIDTH})
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND len(embedding) = {DIM}))
 ),
 dist AS (
   SELECT e.vec_id, c.cidx,

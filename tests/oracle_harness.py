@@ -38,10 +38,28 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                     df[c] = s.map(lambda v: round(v, 9) if isinstance(v, float) else v)
             except Exception:
                 pass
-        # int-vs-float dtype unification (duckdb hugeint → object/float)
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _num_kind(s: pd.Series) -> str:
+    """'int', 'float', or 'other' — for object columns, inferred from the
+    Python types of the non-null values (DuckDB HUGEINT arrives as object
+    or float64, which the driver renders differently from Spark's int64)."""
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if s.dtype == object:
+        vals = s.dropna()
+        if len(vals) and vals.map(lambda v: isinstance(v, float)).all():
+            return "float"
+        if len(vals) and vals.map(
+            lambda v: isinstance(v, int) and not isinstance(v, bool)
+        ).all():
+            return "int"
+    return "other"
 
 
 def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> Tuple[bool, str]:
@@ -49,6 +67,17 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> Tuple[bool, str]
         return False, f"columns differ: {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}"
     if len(spark_df) != len(oracle_df):
         return False, f"row counts differ: {len(spark_df)} vs {len(oracle_df)}"
+    # Driver-hash strictness: the driver hashes FORMATTED values, so an
+    # int64 Spark column vs a float/HUGEINT oracle column ("3504091" vs
+    # "3504091.0") hash-mismatches even when every value is equal. Fail
+    # here too instead of unifying dtypes (the r5 dsir/ccnet escape).
+    for c in sorted(spark_df.columns):
+        ka, kb = _num_kind(spark_df[c]), _num_kind(oracle_df[c])
+        if {ka, kb} == {"int", "float"}:
+            return False, (
+                f"dtype mismatch in '{c}': spark renders {ka}, oracle renders "
+                f"{kb} — driver would hash-fail (CAST the oracle column)"
+            )
     a, b = _canon(spark_df), _canon(oracle_df)
     for c in a.columns:
         av, bv = a[c], b[c]

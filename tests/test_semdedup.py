@@ -130,6 +130,35 @@ def _pair_volume(assigned):
     return sum(c * (c - 1) // 2 for c in sizes)
 
 
+def test_default_k_scales_with_corpus(spark):
+    """The REGISTERED (driver-checked) path is the non-quadratic form:
+    semantic_assign with centroids=None derives k = max(SEM_K, n //
+    SEM_WIDTH) from the corpus itself, so a 4× corpus gets 4× centroids
+    and the within-cluster pair volume Σ|c|(|c|−1)/2 grows ~4× (linear),
+    not 16× (the fixed-k quadratic). Measured on two synthetic corpora
+    sized onto the escalation leg (n = 32·SEM_WIDTH and 128·SEM_WIDTH);
+    at the sf-table scales the same formula resolves to k = SEM_K, which
+    keeps every DuckDB oracle bit-identical."""
+    from pdf_extraction_spark.operators.semdedup import (
+        SEM_WIDTH,
+        semantic_assign,
+        sem_k_for,
+    )
+
+    n_small, n_large = 32 * SEM_WIDTH, 128 * SEM_WIDTH
+    assert sem_k_for(n_small) == 32 and sem_k_for(n_large) == 128
+    # interleaved layout: the first-k-by-vec_id init sees one point per
+    # true cluster, so assignment recovers the planted clustering
+    small = _clustered_emb(spark, 32, SEM_WIDTH)
+    large = _clustered_emb(spark, 128, SEM_WIDTH)
+    vol_small = _pair_volume(semantic_assign(spark, sf="", embeddings=small))
+    vol_large = _pair_volume(semantic_assign(spark, sf="", embeddings=large))
+    assert vol_small > 0
+    # 4× data → ~4× pair volume; 2× slack for imperfect splits. The fixed-k
+    # shape would give 16× — well outside the bound.
+    assert vol_large <= 8 * vol_small, (vol_small, vol_large)
+
+
 def test_k_escalation_bounds_pair_volume(spark):
     """The k ∝ n escalation path the module docstring promises: semantic
     dedup at scale trains `ivf_train` centroids with k proportional to
