@@ -72,6 +72,17 @@ def main(argv=None) -> int:
         help="with --ingest: after the append, re-sum gram_index to one row "
              "per gram (verified staged swap; delta results are invariant)",
     )
+    ap.add_argument(
+        "--admit-unique", action="store_true",
+        help="with --ingest: run the Bloom-prefiltered exact-dedup admission "
+             "gate — only documents novel to (batch ∪ store) reach the "
+             "warehouse; maintains doc_hashes + bloom filter tables",
+    )
+    ap.add_argument(
+        "--rebuild-bloom", action="store_true",
+        help="with --ingest --admit-unique: after the append, resize the "
+             "Bloom filter from the true store size (verified staged swap)",
+    )
     args = ap.parse_args(argv)
 
     from pdf_extraction_spark.plans.pipeline import run_extraction
@@ -81,13 +92,17 @@ def main(argv=None) -> int:
         from pdf_extraction_spark.plans.incremental import (
             append_batch,
             compact_gram_index,
+            rebuild_bloom,
         )
 
         spark = build_session(app_name=f"ingest:{args.run_id}", master=args.master)
         docs = spark.read.parquet(args.input).select("doc_id", "text")
-        summary = append_batch(spark, args.output, docs, batch_id=args.run_id)
+        summary = append_batch(spark, args.output, docs, batch_id=args.run_id,
+                               admit_unique=args.admit_unique)
         if args.compact_index:
             summary["index_compaction"] = compact_gram_index(spark, args.output)
+        if args.rebuild_bloom:
+            summary["bloom_rebuild"] = rebuild_bloom(spark, args.output)
         print(json.dumps(summary))
         spark.stop()
         return 0

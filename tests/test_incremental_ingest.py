@@ -326,3 +326,144 @@ def test_compaction_abort_preserves_index(spark, tmp_path, monkeypatch):
         inc.compact_gram_index(spark, root)
     monkeypatch.undo()
     assert sorted(map(tuple, io.read("gram_index").collect())) == before
+
+
+# ---------------------------------------------------------- admission gate
+
+ADM_A = [
+    (1, "alpha beta gamma"),
+    (2, "delta epsilon zeta"),
+    (3, "alpha beta gamma"),     # intra-batch exact dup of doc 1
+    (4, "eta theta iota"),
+]
+ADM_B = [
+    (10, "delta epsilon zeta"),  # store dup of A's doc 2
+    (11, "kappa lambda mu"),     # novel
+    (12, "kappa lambda mu"),     # intra-batch dup of doc 11
+    (13, "alpha beta gamma"),    # store dup of A's doc 1
+    (14, "nu xi omicron"),       # novel
+]
+
+
+def test_admission_rejects_exact_dups_keep_first(spark, tmp_path):
+    """The Bloom-prefiltered admission gate: intra-batch exact duplicates
+    keep the lowest doc_id; store duplicates are rejected; every true dup
+    was a Bloom candidate (no false negatives); only admitted docs reach
+    corpus / doc_hashes / dup_report."""
+    root = str(tmp_path / "w")
+    s1 = append_batch(spark, root, _df(spark, ADM_A), "b-a", window=W,
+                      admit_unique=True)
+    assert (s1["n_in"], s1["n_batch_dups"], s1["n_store_dups"],
+            s1["n_admitted"]) == (4, 1, 0, 3)
+    s2 = append_batch(spark, root, _df(spark, ADM_B), "b-b", window=W,
+                      admit_unique=True)
+    assert (s2["n_in"], s2["n_batch_dups"], s2["n_store_dups"],
+            s2["n_admitted"]) == (5, 1, 2, 2)
+    # no false negatives: both true store dups were flagged candidates
+    assert s2["n_bloom_candidates"] >= s2["n_store_dups"]
+
+    io = TableIO(spark, root)
+    got = sorted(r["doc_id"] for r in io.read("corpus").collect())
+    assert got == [1, 2, 4, 11, 14]
+    assert sorted(r["doc_id"] for r in io.read("doc_hashes").collect()) == got
+    assert sorted(r["doc_id"] for r in io.read("dup_report").collect()) == got
+    # report counts match the written-table summary
+    assert s1["n_docs"] == 3 and s2["n_docs"] == 2
+
+
+def test_admission_candidate_reduction_no_false_negatives(spark, tmp_path):
+    """At m/n=16 bits per key the exact check's probe side shrinks to
+    ≈ true dups (+~0.2% FP): a mostly-novel batch against a 200-doc store
+    must flag every true dup as a candidate while passing the bulk of the
+    batch straight through with zero join work."""
+    root = str(tmp_path / "w")
+    store_rows = [(i, f"store doc number {i} unique words") for i in range(200)]
+    append_batch(spark, root, _df(spark, store_rows), "b-0", window=W,
+                 admit_unique=True)
+    dup_ids = list(range(1000, 1010))  # duplicate store docs 0..9
+    batch_rows = [(1000 + j, f"store doc number {j} unique words") for j in range(10)]
+    batch_rows += [(2000 + j, f"novel text {j} nothing shared") for j in range(90)]
+    s = append_batch(spark, root, _df(spark, batch_rows), "b-1", window=W,
+                     admit_unique=True)
+    assert s["n_store_dups"] == 10 and s["n_admitted"] == 90
+    # every true dup IS a candidate, and the filter passed most of the batch
+    assert 10 <= s["n_bloom_candidates"] <= 20, s
+    io = TableIO(spark, root)
+    admitted = {r["doc_id"] for r in io.read("corpus")
+                .filter(F.col("batch_id") == "b-1").collect()}
+    assert admitted.isdisjoint(dup_ids) and len(admitted) == 90
+
+
+def test_admission_crash_during_report_write_resumes(spark, tmp_path):
+    """A crash DURING the dup_report write leaves a PARTIAL partition —
+    previously undetectable (any row made the batch look complete; the r5
+    review finding). Completion is now marker-gated and every write
+    overwrites its own partition, so the resume REPLACES the partial
+    state and converges on the clean two-batch result across all five
+    tables."""
+    crash_root = str(tmp_path / "crash")
+    clean_root = str(tmp_path / "clean")
+    for root in (crash_root, clean_root):
+        append_batch(spark, root, _df(spark, ADM_A), "b-a", window=W,
+                     admit_unique=True)
+
+    io = TableIO(spark, crash_root)
+    # simulate the partial task-commit: HALF of batch B's report rows (and
+    # a partial corpus write), no completion marker
+    io.write(
+        _df(spark, ADM_B[:2]).select(F.lit("b-b").alias("batch_id"),
+                                     "doc_id", "text"),
+        "corpus", mode="append", partition_by=["batch_id"],
+    )
+    io.write(
+        _df(spark, ADM_B[:1]).select(
+            F.lit("b-b").alias("batch_id"), "doc_id",
+            F.lit(3).alias("n_words"), F.lit(99).cast("bigint").alias("dup_words"),
+        ),
+        "dup_report", mode="append", partition_by=["batch_id"],
+    )
+    resumed = append_batch(spark, crash_root, _df(spark, ADM_B), "b-b",
+                           window=W, admit_unique=True)
+    assert not resumed["skipped"] and resumed["n_admitted"] == 2
+
+    append_batch(spark, clean_root, _df(spark, ADM_B), "b-b", window=W,
+                 admit_unique=True)
+    clean = TableIO(spark, clean_root)
+    for t in ("corpus", "gram_index", "doc_hashes", "bloom", "dup_report"):
+        got = sorted(map(tuple, io.read(t).collect()))
+        want = sorted(map(tuple, clean.read(t).collect()))
+        assert got == want, t
+    # the injected phantom 99-dup-words row must be gone
+    assert io.read("dup_report").filter(F.col("dup_words") == 99).count() == 0
+
+    # completed batches are marker-certified O(1) no-ops
+    again = append_batch(spark, crash_root, _df(spark, ADM_B), "b-b",
+                         window=W, admit_unique=True)
+    assert again["skipped"]
+
+
+def test_rebuild_bloom_resizes_and_preserves_admission(spark, tmp_path):
+    """The scalable-Bloom growth step: rebuild from the true store count,
+    verify no member hash is dropped (staged swap aborts otherwise), and
+    admission behaves identically after the resize."""
+    from pdf_extraction_spark.plans.incremental import rebuild_bloom
+
+    root = str(tmp_path / "w")
+    append_batch(spark, root, _df(spark, ADM_A), "b-a", window=W,
+                 admit_unique=True)
+    append_batch(spark, root, _df(spark, ADM_B), "b-b", window=W,
+                 admit_unique=True)
+    out = rebuild_bloom(spark, root)
+    io = TableIO(spark, root)
+    n_store = io.read("doc_hashes").count()
+    assert out["n_store"] == n_store == 5
+    assert out["m_bits"] == int(io.read("bloom_meta").collect()[0]["m_bits"])
+    # post-rebuild batch: one dup of each earlier batch + one novel doc
+    s = append_batch(
+        spark, root,
+        _df(spark, [(30, "alpha beta gamma"), (31, "kappa lambda mu"),
+                    (32, "totally new sentence")]),
+        "b-c", window=W, admit_unique=True)
+    assert s["n_store_dups"] == 2 and s["n_admitted"] == 1
+    assert sorted(r["doc_id"] for r in io.read("corpus")
+                  .filter(F.col("batch_id") == "b-c").collect()) == [32]
