@@ -563,28 +563,33 @@ FROM k ORDER BY doc_id
 LEAK_SHINGLE = 10  # training-chunk grain — matches the derep operators
 
 
-def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
-    """Train/held-out leakage audit: after the deterministic hash split
-    (sampling.dataset_split — same assignment training jobs use), count
-    val/test documents that share any word-{LEAK_SHINGLE}-gram with a
-    train document, plus the implicated train docs and distinct shared
-    grams. This is the between-split dedup check The Pile/C4 run before
-    publishing splits — contamination_check's internal-partition twin
-    (there the reference set is an external benchmark; here it is the
-    model's own eval slice). Shape: the held-out side is a small fixed
-    fraction (20%) and only its DISTINCT grams are kept → BROADCAST;
-    the train-side gram explode stays map-local, so nothing corpus-sized
-    shuffles. At 100 TB the broadcast bound is the held-out gram set —
-    deployments with a large eval slice flip to a bucketed equi-join on
-    the gram key (same plan family as dedup_exact)."""
-    from pdf_extraction_spark.operators.dedup import grams_udf
-    from pdf_extraction_spark.operators.sampling import dataset_split
+# Broadcast the held-out gram set only while the held slice is small
+# (~60 B/gram, ~100 grams/doc → 20k docs ≈ 120 MB worst case); a larger
+# eval slice flips to a gram-keyed shuffle_hash equi-join — the
+# key-count-gated broadcast rule every dual-grain join here follows.
+LEAK_BROADCAST_HELD_DOC_CAP = 20_000
 
-    docs = dataset_split(
-        T(spark, sf, "documents").select("doc_id", "text"), "doc_id"
-    )
+
+def split_leakage_stats(
+    docs: DataFrame, text_col: str = "text", broadcast_held: bool = True
+) -> DataFrame:
+    """Train/held-out leakage audit over an already-split corpus
+    (doc_id, split, <text_col>): per held split, the count of val/test
+    documents sharing any word-{LEAK_SHINGLE}-gram with a train document,
+    the implicated train docs, and the distinct shared grams. This is the
+    between-split dedup check The Pile/C4 run before publishing splits —
+    contamination_check's internal-partition twin (there the reference
+    set is an external benchmark; here it is the model's own eval slice).
+    Shape: only the held side's DISTINCT grams cross the join;
+    ``broadcast_held`` gates the small-side broadcast (callers compare
+    their held-doc count against LEAK_BROADCAST_HELD_DOC_CAP), flipping
+    to a gram-keyed shuffle_hash join past the cap — the train-side
+    explode stays map-local either way."""
+    from pdf_extraction_spark.operators.dedup import grams_udf
+
     grams = docs.select(
-        "doc_id", "split", F.explode(grams_udf(F.col("text"), LEAK_SHINGLE)).alias("g")
+        "doc_id", "split",
+        F.explode(grams_udf(F.col(text_col), LEAK_SHINGLE)).alias("g"),
     )
     held = (
         grams.filter(F.col("split") != "train")
@@ -593,9 +598,13 @@ def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
     train = grams.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "g"
     )
-    return (
+    joined = (
         train.join(F.broadcast(held), "g")
-        .groupBy("held_split")
+        if broadcast_held
+        else train.join(held.hint("shuffle_hash"), "g")
+    )
+    return (
+        joined.groupBy("held_split")
         .agg(
             F.countDistinct("held_doc").alias("n_held_docs_leaking"),
             F.countDistinct("train_doc").alias("n_train_docs_implicated"),
@@ -603,6 +612,19 @@ def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("held_split")
     )
+
+
+def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Registered form of ``split_leakage_stats``: apply the deterministic
+    hash split (sampling.dataset_split — same assignment training jobs
+    use) to the documents table, then audit. The curation chain composes
+    the same function over its curated output (--audit-leakage)."""
+    from pdf_extraction_spark.operators.sampling import dataset_split
+
+    docs = dataset_split(
+        T(spark, sf, "documents").select("doc_id", "text"), "doc_id"
+    )
+    return split_leakage_stats(docs, "text")
 
 
 def _leak_gram_list() -> str:

@@ -52,6 +52,14 @@ from pdf_extraction_spark.sources.tables import TableIO
 MIN_QUALITY = 0.3
 
 
+class CurationLeakageError(RuntimeError):
+    """Raised by curate_corpus when --audit-leakage runs with a fail
+    threshold and a held split's leaking-doc fraction exceeds it. The
+    curated table is already written (the audit reads it back in spirit —
+    it runs over the same curated relation), so the caller can inspect
+    the leakage_audit table before deciding to republish splits."""
+
+
 SEM_DEDUP_TAU = 0.8  # feature-hash cosine for the optional semantic stage;
 # stricter than SemDeDup's 0.35 embedding-space default — hash embeddings
 # share common-word mass across unrelated docs, so the duplicate bar is
@@ -68,6 +76,8 @@ def curate_corpus(
     derep: str = "chunk",
     semdedup: bool = False,
     sem_tau: float = SEM_DEDUP_TAU,
+    audit_leakage: bool = False,
+    leakage_fail_frac: Optional[float] = None,
 ) -> dict:
     """Run the curation chain over extraction output; returns per-stage
     stats. When ``out_root`` is given the curated corpus is written there
@@ -243,6 +253,26 @@ def curate_corpus(
     n_packs = {r["split"]: int(r["n_packs"]) for r in stat_rows}
     _lap("redact_split_stats")
 
+    # 6. OPTIONAL split-leakage audit (--audit-leakage): the published-
+    # splits gate The Pile/C4 run — after the split is final, no held-out
+    # document may share a training-grain word 10-gram with a train doc.
+    # Same oracled operator as the `split_leakage_audit` query, composed
+    # over the curated relation; broadcast of the held gram set is gated
+    # by the held-doc count (flips to a gram-keyed shuffle_hash join).
+    leak_rows: list = []
+    if audit_leakage:
+        from pdf_extraction_spark.operators.filtering import (
+            LEAK_BROADCAST_HELD_DOC_CAP,
+            split_leakage_stats,
+        )
+
+        n_held = sum(v for k, v in mix.items() if k != "train")
+        leak_rows = split_leakage_stats(
+            curated.select("doc_id", "split", "text"), "text",
+            broadcast_held=n_held <= LEAK_BROADCAST_HELD_DOC_CAP,
+        ).collect()  # ≤ one row per held split
+        _lap("leakage_audit")
+
     stats = {
         "n_input": n_input,
         "n_quality_gated": n_gated,
@@ -258,6 +288,25 @@ def curate_corpus(
         "split_mix": {k: int(v) for k, v in sorted(mix.items())},
         "pack_counts": {k: v for k, v in sorted(n_packs.items())},
     }
+    if audit_leakage:
+        # zero rows for held splits with no leakage (the groupBy only emits
+        # splits with >=1 leaking doc) so the audit always covers every
+        # held split present in the mix
+        by_split = {r["held_split"]: r for r in leak_rows}
+        stats["leakage"] = {
+            split: {
+                "n_held_docs_leaking": int(r["n_held_docs_leaking"]) if r else 0,
+                "n_train_docs_implicated": int(r["n_train_docs_implicated"]) if r else 0,
+                "n_shared_grams": int(r["n_shared_grams"]) if r else 0,
+                "leak_frac": round(
+                    (int(r["n_held_docs_leaking"]) if r else 0)
+                    / max(mix.get(split, 0), 1), 6
+                ),
+            }
+            for split, r in sorted(
+                (s, by_split.get(s)) for s in mix if s != "train"
+            )
+        }
 
     if out_root:
         io = TableIO(spark, out_root)
@@ -273,5 +322,27 @@ def curate_corpus(
             spark.createDataFrame(stage_rows, "stage string, n_docs bigint"),
             "curation_stats", mode="overwrite",
         )
+        if audit_leakage:
+            io.write(
+                spark.createDataFrame(
+                    [(split, v["n_held_docs_leaking"],
+                      v["n_train_docs_implicated"], v["n_shared_grams"])
+                     for split, v in sorted(stats["leakage"].items())],
+                    "held_split string, n_held_docs_leaking bigint, "
+                    "n_train_docs_implicated bigint, n_shared_grams bigint",
+                ),
+                "leakage_audit", mode="overwrite",
+            )
         _lap("write")
+
+    if audit_leakage and leakage_fail_frac is not None:
+        worst = max(
+            (v["leak_frac"] for v in stats["leakage"].values()), default=0.0
+        )
+        if worst > leakage_fail_frac:
+            raise CurationLeakageError(
+                f"held-out leakage {worst:.4f} exceeds --leakage-fail-frac "
+                f"{leakage_fail_frac}: {stats['leakage']} (curated + "
+                f"leakage_audit tables are written for inspection)"
+            )
     return stats

@@ -54,6 +54,19 @@ def main(argv=None) -> int:
              "within-cluster groups, longest-member keeper)",
     )
     ap.add_argument(
+        "--audit-leakage", action="store_true",
+        help="after --curate's split stage, run the train/held-out "
+             "word-10-gram leakage audit over the curated corpus (writes a "
+             "leakage_audit table next to curated; the published-splits gate "
+             "The Pile/C4 run)",
+    )
+    ap.add_argument(
+        "--leakage-fail-frac", type=float, default=None,
+        help="with --audit-leakage: exit non-zero if any held split's "
+             "leaking-doc fraction exceeds this (tables are still written "
+             "for inspection)",
+    )
+    ap.add_argument(
         "--compact", action="store_true",
         help="after extraction, binpack the extracted table's bucket "
              "partitions (checksum-verified; resumed/wave-committed runs "
@@ -129,12 +142,24 @@ def main(argv=None) -> int:
         )
 
     if args.curate:
-        from pdf_extraction_spark.plans.curation import curate_corpus
+        from pdf_extraction_spark.plans.curation import (
+            CurationLeakageError,
+            curate_corpus,
+        )
         from pdf_extraction_spark.sources.tables import TableIO
 
         extracted = TableIO(spark, args.output).read("extracted")
-        summary["curation"] = curate_corpus(spark, extracted, out_root=args.output,
-                                            derep=args.derep, semdedup=args.semdedup)
+        try:
+            summary["curation"] = curate_corpus(
+                spark, extracted, out_root=args.output,
+                derep=args.derep, semdedup=args.semdedup,
+                audit_leakage=args.audit_leakage,
+                leakage_fail_frac=args.leakage_fail_frac,
+            )
+        except CurationLeakageError as e:
+            print(json.dumps({**summary, "curation_error": str(e)}))
+            spark.stop()
+            return 3
 
     print(json.dumps(summary))
     spark.stop()

@@ -129,3 +129,85 @@ def test_derep_mode_validated(spark, extracted):
 
     with _pytest.raises(ValueError, match="derep"):
         curate_corpus(spark, extracted, derep="bogus")
+
+
+def test_leakage_audit_stage(spark, extracted, tmp_path):
+    """--audit-leakage: the train/held-out 10-gram audit runs over the
+    curated relation, covers every held split in the mix (zeros when no
+    leakage), mirrors into the leakage_audit table, and is deterministic."""
+    out = str(tmp_path / "aud")
+    stats = curate_corpus(spark, extracted, out_root=out, audit_leakage=True)
+
+    held = {s for s in stats["split_mix"] if s != "train"}
+    assert set(stats["leakage"]) == held
+    for split, v in stats["leakage"].items():
+        assert 0 <= v["n_held_docs_leaking"] <= stats["split_mix"][split]
+        assert 0.0 <= v["leak_frac"] <= 1.0
+        assert v["n_train_docs_implicated"] >= 0
+        # leaking docs imply shared grams and implicated train docs
+        if v["n_held_docs_leaking"]:
+            assert v["n_shared_grams"] > 0 and v["n_train_docs_implicated"] > 0
+
+    table = {r["held_split"]: r
+             for r in TableIO(spark, out).read("leakage_audit").collect()}
+    assert set(table) == held
+    for split, v in stats["leakage"].items():
+        assert int(table[split]["n_held_docs_leaking"]) == v["n_held_docs_leaking"]
+        assert int(table[split]["n_shared_grams"]) == v["n_shared_grams"]
+
+    again = curate_corpus(spark, extracted, audit_leakage=True)
+    assert again["leakage"] == stats["leakage"]
+    # the audit is read-only over the curated relation: every other stat
+    # is unchanged vs a no-audit run
+    base = curate_corpus(spark, extracted)
+    assert {k: v for k, v in again.items() if k != "leakage"} == base
+
+
+def test_leakage_fail_threshold(spark, extracted, tmp_path):
+    """--leakage-fail-frac: exceeding the bar raises CurationLeakageError
+    AFTER the tables are written (inspectable); a generous bar passes."""
+    from pdf_extraction_spark.plans.curation import CurationLeakageError
+
+    out = str(tmp_path / "gate")
+    # any leak_frac >= 0 exceeds a negative bar — deterministic trigger
+    with pytest.raises(CurationLeakageError, match="leakage"):
+        curate_corpus(spark, extracted, out_root=out,
+                      audit_leakage=True, leakage_fail_frac=-0.5)
+    # tables were still written for inspection
+    assert TableIO(spark, out).read("leakage_audit").count() > 0
+    assert TableIO(spark, out).read("curated").count() > 0
+    # a bar of 1.0 can never trip (leak_frac <= 1)
+    ok = curate_corpus(spark, extracted, audit_leakage=True,
+                       leakage_fail_frac=1.0)
+    assert "leakage" in ok
+
+
+def test_leakage_stats_broadcast_flip_bit_equal(spark):
+    """split_leakage_stats: the key-cap-gated broadcast and the gram-keyed
+    shuffle_hash fallback are bit-equal, and counts match a hand-computed
+    corpus (one val doc shares a 10-gram with two train docs; test split
+    is clean)."""
+    from pdf_extraction_spark.operators.filtering import split_leakage_stats
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    rows = [
+        ("t1", "train", shared + " kilo lima"),
+        ("t2", "train", "zero " + shared),
+        ("t3", "train", "nothing in common with any held out document "
+                        "at all whatsoever here truly"),
+        ("v1", "val", "prefix words " + shared),
+        ("v2", "val", "completely disjoint ten gram free short text"),
+        ("x1", "test", "another disjoint held out document with no overlap "
+                       "against training data rows"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, split string, text string")
+
+    bcast = split_leakage_stats(docs, broadcast_held=True).collect()
+    shuf = split_leakage_stats(docs, broadcast_held=False).collect()
+    key = lambda r: r["held_split"]  # noqa: E731
+    assert sorted(bcast, key=key) == sorted(shuf, key=key)
+
+    got = {r["held_split"]: r for r in bcast}
+    assert set(got) == {"val"}  # test split is clean -> no row
+    assert got["val"]["n_held_docs_leaking"] == 1
+    assert got["val"]["n_train_docs_implicated"] == 2

@@ -51,8 +51,9 @@ def test_spark_submit_py_files(spark, tmp_path):
             os.path.join(REPO, "run_job.py"),
             "--input", src, "--output", out_root,
             "--run-id", "submit-smoke", "--n-buckets", "4", "--master", "local[2]",
+            "--curate", "--audit-leakage", "--leakage-fail-frac", "1.0",
         ],
-        capture_output=True, text=True, timeout=280, env=env, cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=560, env=env, cwd=str(tmp_path),
     )
     assert res.returncode == 0, res.stderr[-3000:]
     summary = json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][-1])
@@ -60,3 +61,10 @@ def test_spark_submit_py_files(spark, tmp_path):
 
     got = spark.read.parquet(os.path.join(out_root, "extracted"))
     assert got.count() == len(pdf)
+
+    # CLI drive of the curation chain + leakage audit (VERDICT r5 item 8)
+    leak = summary["curation"]["leakage"]
+    assert set(leak) == {s for s in summary["curation"]["split_mix"] if s != "train"}
+    audited = spark.read.parquet(os.path.join(out_root, "leakage_audit"))
+    table = {r["held_split"]: int(r["n_held_docs_leaking"]) for r in audited.collect()}
+    assert table == {s: v["n_held_docs_leaking"] for s, v in leak.items()}
