@@ -96,7 +96,18 @@ def _bigram_buckets(words):
 
 def dsir_scores(docs: DataFrame, target: F.Column) -> DataFrame:
     """(doc_id, score_micro_nats): Σ_b c_b(doc) · round(1e6 · log-ratio(b)),
-    all-int64 after the per-bucket quantization."""
+    all-int64 after the per-bucket quantization.
+
+    Cross-engine fragility note: the round() input is double ln()
+    arithmetic computed independently by the JVM and the oracle engine;
+    neither guarantees correctly-rounded ln, so a value landing within
+    ~2e-8 of a .5 boundary could quantize differently per engine. This is
+    monitored, not assumed away: test_quantization_boundary_margins
+    measures the minimum boundary distance over every bucket (and every
+    CCNet vocab word) at both oracle scale factors and fails if any value
+    comes within 1e-5 of a boundary — ≥500× the worst plausible ln
+    divergence — so a dataset regen that lands near a boundary is caught
+    before the driver hash gate sees it."""
     words = F.split(F.lower(F.col("text")), " ")
     ex = docs.select(
         "doc_id", target.alias("is_target"), F.explode(_bigram_buckets(words)).alias("b")

@@ -153,3 +153,52 @@ def test_plans_broadcast_the_small_side(spark, q):
     plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_quantization_boundary_margins(sf_dir):
+    """DSIR/CCNet micro-nat weights are round(double-ln-arithmetic * 1e6)
+    computed independently in the JVM and DuckDB; neither guarantees
+    correctly-rounded ln, so a pre-round value within ~2e-8 of a .5
+    boundary could flip the int64 weight per engine and fail the hash
+    oracle data-dependently. Guard: at both oracle scale factors (mirror
+    sf0.001, driver sf0.01), every quantization input must clear the
+    boundary by >= 1e-5 — 500× the worst plausible cross-engine ln
+    divergence. Measured margins today: DSIR >= 7e-4, CCNet >= 3.4e-2."""
+    import duckdb
+
+    from pdf_extraction_spark.operators.filtering import _MICRO, DSIR_BUCKETS
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    dsir_margin = con.execute(f"""
+        WITH w AS (SELECT doc_id, lang = 'en' AS is_target,
+                          string_split(lower(text), ' ') AS ws FROM documents),
+        ex AS (SELECT is_target,
+                      ('0x' || substring(md5(g), 1, 7))::BIGINT % {DSIR_BUCKETS} AS b
+               FROM (SELECT is_target,
+                            unnest(list_transform(range(1, greatest(len(ws), 1)),
+                                                  i -> ws[i] || '_' || ws[i + 1])) AS g
+                     FROM w)),
+        dist AS (SELECT b, count(*) AS c_raw,
+                        sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t
+                 FROM ex GROUP BY b),
+        tot AS (SELECT sum(c_raw) AS t_raw, sum(c_t) AS t_t FROM dist),
+        v AS (SELECT (ln(c_t + 0.5) - ln(t_t + {DSIR_BUCKETS} * 0.5)
+                    - ln(c_raw + 0.5) + ln(t_raw + {DSIR_BUCKETS} * 0.5))
+                     * {_MICRO} AS x FROM dist, tot)
+        SELECT min(abs(abs(x - floor(x)) - 0.5)) FROM v
+    """).fetchone()[0]
+    ccnet_margin = con.execute(f"""
+        WITH ex AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents),
+        counts AS (SELECT w, count(*) AS c FROM ex GROUP BY w),
+        tot AS (SELECT sum(c) AS t FROM counts),
+        v AS (SELECT (ln(t) - ln(c)) * {_MICRO} AS x FROM counts, tot)
+        SELECT min(abs(abs(x - floor(x)) - 0.5)) FROM v
+    """).fetchone()[0]
+    assert dsir_margin > 1e-5, f"DSIR weight near .5 boundary: {dsir_margin}"
+    assert ccnet_margin > 1e-5, f"CCNet nll near .5 boundary: {ccnet_margin}"
