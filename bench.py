@@ -67,6 +67,9 @@ HEADLINE = (
     "incremental_exact_substring",
     "dsir_importance_sample",
     "dedup_bloom_prefilter",
+    # r6 additions
+    "ccnet_line_dedup",
+    "ann_hard_negatives",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales

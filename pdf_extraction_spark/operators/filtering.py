@@ -570,6 +570,161 @@ FROM k ORDER BY doc_id
 """
 
 
+# --------------------------------------------- CCNet line-grain dedup
+# pack (doc_id, line_idx) into one int64 for the corpus-first arg-min:
+# supports 2^20 lines/doc and ~2^42 docs (ANSI mode throws on overflow
+# rather than wrapping, so a corpus past either bound fails loudly)
+LINE_POS_BITS = 20
+
+
+def ccnet_line_dedup(docs: DataFrame) -> DataFrame:
+    """CCNet's paragraph-grain dedup stage (Wenzek et al. 2020 §3.1 —
+    there the unit is a paragraph; over our lined docs it is a line):
+    normalize each line (lowercase, strip non-letter characters, collapse
+    whitespace), hash, keep only the corpus-FIRST occurrence of each
+    distinct normalized line (first = smallest (doc_id, line position)),
+    and reassemble the surviving raw lines per document. Lines whose
+    normalization is empty carry no content signal and are always kept.
+    Returns (doc_id, n_lines, n_lines_removed, n_chars_removed, new_text).
+
+    Shape at 100 TB: one map-local posexplode; keep-first is a
+    groupBy(line_key).min — partial aggregation collapses hot lines
+    map-side (boilerplate lines ARE the hot keys: a banner appearing on
+    1/7 of all pages is one key with n/7 occurrences, which is why this
+    is NOT a row_number window — a window would sort the whole hot key
+    in one partition) — then an equi-join back on the key (AQE skew-join
+    splits the hot probe side) and one groupBy(doc_id) reassembly. Two
+    linear shuffles, no skewed windows, nothing driver-side."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("line_idx", "line")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("line")), "[^a-z ]", ""), " +", " "
+        )
+    )
+    ex = lines.select(
+        "doc_id", "line_idx", "line",
+        F.md5(norm).alias("k"),
+        (norm == "").alias("blank"),
+        (F.col("doc_id") * F.lit(1 << LINE_POS_BITS) + F.col("line_idx")).alias("pos"),
+    )
+    first = ex.filter(~F.col("blank")).groupBy("k").agg(F.min("pos").alias("first_pos"))
+    kept = ex.join(first, "k", "left").withColumn(
+        "keep", F.col("blank") | (F.col("pos") == F.col("first_pos"))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_lines_removed"),
+        F.sum(F.when(~F.col("keep"), F.length("line")).otherwise(0)).alias(
+            "n_chars_removed"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("line_idx", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("new_text"),
+    )
+
+
+def q_ccnet_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Registered form: line-structure the documents table (same
+    deterministic synthesis as line_quality_filters — its per-class defect
+    lines are exactly the hot boilerplate this stage exists to remove),
+    dedup at line grain, and report per-source removal mass plus an
+    order-free checksum over every reassembled text (Σ of each new_text's
+    md5-prefix int), so the oracle pins the full rewritten corpus, not
+    just the counts."""
+    docs = T(spark, sf, "documents")
+    dd = ccnet_line_dedup(with_line_structure(docs.select("doc_id", "text")))
+    return (
+        dd.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_lines_removed").alias("n_lines_removed"),
+            F.sum("n_chars_removed").alias("n_chars_removed"),
+            F.sum(
+                F.conv(F.substring(F.md5("new_text"), 1, 7), 16, 10).cast("long")
+            ).alias("kept_text_check"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_LINE_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+structured AS (
+  SELECT doc_id,
+         list_transform(
+           range(CAST((len(w) + {LINE_WORDS - 1}) // {LINE_WORDS} AS BIGINT)),
+           i -> array_to_string(w[i * {LINE_WORDS} + 1 : i * {LINE_WORDS} + {LINE_WORDS}], ' ') || '.'
+         ) AS lines
+  FROM base
+),
+aug AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 7 AS INTEGER)
+           WHEN 0 THEN list_append(lines, '{_DEFECT_LINES[0]}')
+           WHEN 1 THEN list_append(lines, '{_DEFECT_LINES[1]}')
+           WHEN 2 THEN list_append(lines, '{_DEFECT_LINES[2]}')
+           WHEN 3 THEN list_append(lines, '{_DEFECT_LINES[3]}')
+           WHEN 4 THEN list_append(lines, 'function foo() {{ return 1; }}.')
+           ELSE lines END AS lines
+  FROM structured
+),
+ex AS (
+  SELECT doc_id, s.line_idx, s.line,
+         md5(s.norm) AS k, s.norm = '' AS blank,
+         doc_id * {1 << LINE_POS_BITS} + s.line_idx AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(lines)), i -> {{
+             'line_idx': i,
+             'line': lines[i + 1],
+             'norm': trim(regexp_replace(regexp_replace(lower(lines[i + 1]),
+                          '[^a-z ]', '', 'g'), ' +', ' ', 'g'))
+           }})) AS s
+    FROM aug
+  )
+),
+first AS (
+  SELECT k, min(pos) AS first_pos FROM ex WHERE NOT blank GROUP BY k
+),
+kept AS (
+  SELECT ex.*, (ex.blank OR ex.pos = f.first_pos) AS keep
+  FROM ex LEFT JOIN first f USING (k)
+),
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_lines_removed,
+         sum(CASE WHEN NOT keep THEN length(line) ELSE 0 END) AS n_chars_removed,
+         coalesce(string_agg(line, chr(10) ORDER BY line_idx)
+                    FILTER (WHERE keep), '') AS new_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_lines) AS BIGINT) AS n_lines,
+       CAST(sum(p.n_lines_removed) AS BIGINT) AS n_lines_removed,
+       CAST(sum(p.n_chars_removed) AS BIGINT) AS n_chars_removed,
+       CAST(sum(('0x' || substring(md5(p.new_text), 1, 7))::BIGINT) AS BIGINT)
+         AS kept_text_check
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 # ------------------------------------------------- split-leakage audit
 LEAK_SHINGLE = 10  # training-chunk grain — matches the derep operators
 
@@ -683,5 +838,6 @@ QUERIES = {
     "gopher_quality_filters": (q_gopher_quality_filters, _SQL_GOPHER),
     "ccnet_perplexity_filter": (q_ccnet_perplexity_filter, _SQL_CCNET),
     "line_quality_filters": (q_line_quality_filters, _SQL_C4),
+    "ccnet_line_dedup": (q_ccnet_line_dedup, _SQL_LINE_DEDUP),
     "split_leakage_audit": (q_split_leakage_audit, _sql_leak()),
 }

@@ -709,3 +709,113 @@ FROM scored ORDER BY qdot DESC, vec_id ASC LIMIT {TOP_K}
 
 
 QUERIES["ann_lsh_topk"] = (q_ann_lsh_topk, _SQL_LSH_TOPK)
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining — the embedding-training op layered on the same
+# integer-exact cosine family: for each anchor vector, the K_NEG most
+# similar vectors bearing a DIFFERENT label (the "hard" negatives a
+# contrastive/e5-style trainer pairs with each anchor). Cosine is reported
+# in exact micro units (round(cos * 1e6) of IEEE-identical doubles), so the
+# whole result is integer-hashable by the oracle.
+N_ANCHORS = 8
+K_NEG = 5
+# per-anchor top-k is a two-phase tree: partial top-k per (anchor, salt)
+# group, then final top-k over the n_salts * K_NEG survivors. NEG_SALTS
+# bounds the collect_list per task to |candidates| / NEG_SALTS rows —
+# deployments size it with the corpus (n / NEG_SALTS rows must fit a task),
+# the same knob family as the LSH hot-bucket cap.
+NEG_SALTS = 32
+
+
+def hard_negative_topk(emb: DataFrame, anchors: DataFrame,
+                       k: int = K_NEG, n_salts: int = NEG_SALTS) -> DataFrame:
+    """(anchor_id, rank, vec_id, label, cos_micro): per anchor, the k
+    highest-cosine vectors whose label differs from the anchor's
+    (rank by cos_micro DESC, then vec_id — fully deterministic).
+
+    Shape at 10^9 vectors: the anchor table broadcasts (a few rows) into a
+    map-only nested-loop against the scan — the ONLY place a
+    BroadcastNestedLoopJoin is the right plan: the build side is
+    N_ANCHORS rows and the label predicate is a non-equi filter, so there
+    is nothing to hash on and nothing to shuffle. Scoring is the Arrow
+    numpy path; top-k never sorts globally — partial per-salt heads, then
+    one tiny final reduce per anchor."""
+    a = anchors.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("ae"),
+        F.col("label").alias("alabel"),
+    )
+    scored = (
+        emb.join(F.broadcast(a), emb["label"] != a["alabel"])
+        .select(
+            "anchor_id", "vec_id", "label",
+            F.round(
+                quantized_dot(F.col("embedding"), F.col("ae"))
+                / (
+                    F.sqrt(quantized_norm2(F.col("embedding")))
+                    * F.sqrt(quantized_norm2(F.col("ae")))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("cos_micro"),
+        )
+    )
+    elem = F.struct((-F.col("cos_micro")).alias("neg_cos"), "vec_id", "label",
+                    "cos_micro")
+    partial = (
+        scored.withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)))
+        .groupBy("anchor_id", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list(elem)), 1, k).alias("head"))
+        .select("anchor_id", F.explode("head").alias("s"))
+    )
+    final = (
+        partial.groupBy("anchor_id")
+        .agg(F.slice(F.array_sort(F.collect_list("s")), 1, k).alias("top"))
+        .select("anchor_id", F.posexplode("top").alias("r", "s"))
+        .select(
+            "anchor_id",
+            (F.col("r") + 1).cast("int").alias("rank"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.label").alias("label"),
+            F.col("s.cos_micro").alias("cos_micro"),
+        )
+    )
+    return final.orderBy("anchor_id", "rank")
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    emb = valid_embeddings(T(spark, sf, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") < N_ANCHORS)
+    return hard_negative_topk(emb, anchors)
+
+
+_SQL_HARD_NEG = f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, embedding AS ae, label AS alabel
+  FROM embeddings WHERE vec_id < {N_ANCHORS}
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id, e.label,
+         CAST(round(
+           {_qd_sql('e.embedding', 'a.ae')}
+           / (sqrt({_qd_sql('e.embedding', 'e.embedding')})
+              * sqrt({_qd_sql('a.ae', 'a.ae')})) * 1000000
+         ) AS BIGINT) AS cos_micro
+  FROM embeddings e CROSS JOIN anchors a
+  WHERE e.label <> a.alabel
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY anchor_id ORDER BY cos_micro DESC, vec_id
+         ) AS rank
+  FROM scored
+)
+SELECT anchor_id, CAST(rank AS INTEGER) AS rank, vec_id, label, cos_micro
+FROM ranked WHERE rank <= {K_NEG}
+ORDER BY anchor_id, rank
+"""
+
+
+QUERIES["ann_hard_negatives"] = (q_ann_hard_negatives, _SQL_HARD_NEG)

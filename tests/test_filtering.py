@@ -202,3 +202,77 @@ def test_quantization_boundary_margins(sf_dir):
     """).fetchone()[0]
     assert dsir_margin > 1e-5, f"DSIR weight near .5 boundary: {dsir_margin}"
     assert ccnet_margin > 1e-5, f"CCNet nll near .5 boundary: {ccnet_margin}"
+
+
+def test_line_dedup_corpus_first_and_no_surviving_dups(spark):
+    """ccnet_line_dedup core invariants at sf0.001: (a) hot boilerplate
+    (the per-class defect lines, shared across 1/7 of docs each) is
+    actually removed; (b) after dedup NO normalized non-blank line occurs
+    twice corpus-wide; (c) the corpus-first occurrence of every surviving
+    line is the one kept (smallest (doc_id, line_idx)); (d) counts are
+    internally consistent with the reassembled text."""
+    import re
+
+    from pdf_extraction_spark.operators.filtering import (
+        ccnet_line_dedup,
+        with_line_structure,
+    )
+
+    docs = with_line_structure(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    )
+    out = ccnet_line_dedup(docs).collect()
+    assert sum(r["n_lines_removed"] for r in out) > 0
+
+    def norm(line):
+        return re.sub(" +", " ", re.sub("[^a-z ]", "", line.lower())).strip()
+
+    seen = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        kept_lines = r["new_text"].split("\n") if r["new_text"] else []
+        assert len(kept_lines) == r["n_lines"] - r["n_lines_removed"]
+        for line in kept_lines:
+            n = norm(line)
+            if n == "":
+                continue
+            assert n not in seen, f"dup normalized line survives: {n!r}"
+            seen[n] = r["doc_id"]
+
+    # (c) keep-first: replay the original lines in (doc_id, line_idx)
+    # order; the keeper of each normalized line must be its first bearer
+    firsts = {}
+    for r in sorted(docs.collect(), key=lambda r: r["doc_id"]):
+        for line in r["text"].split("\n"):
+            n = norm(line)
+            if n and n not in firsts:
+                firsts[n] = r["doc_id"]
+    for n, keeper_doc in seen.items():
+        assert firsts[n] == keeper_doc
+
+
+def test_line_dedup_partitioning_invariant(spark):
+    """Keep-first is defined by (doc_id, line_idx), not physical order —
+    bit-identical results under any repartitioning."""
+    from pdf_extraction_spark.operators.filtering import (
+        ccnet_line_dedup,
+        with_line_structure,
+    )
+
+    docs = with_line_structure(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    )
+    a = {r["doc_id"]: r for r in ccnet_line_dedup(docs).collect()}
+    b = {r["doc_id"]: r for r in ccnet_line_dedup(docs.repartition(17)).collect()}
+    assert a == b
+
+
+def test_line_dedup_no_window_and_joins_shuffle(spark):
+    """Plan guard: the keep-first must be groupBy-min + equi-join (partial
+    agg collapses the hot boilerplate keys map-side), NEVER a row_number
+    window over the line key — a window sorts each hot key inside one
+    partition, the classic boilerplate-skew wall."""
+    from pdf_extraction_spark.operators.filtering import q_ccnet_line_dedup
+
+    plan = q_ccnet_line_dedup(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -142,3 +142,54 @@ def test_similarity_tolerates_poison_embeddings(spark, tmp_path):
 
     emb = spark.read.parquet(os.path.join(sfdir, "embeddings.parquet"))
     assert emb.count() == valid_embeddings(emb).count() + 2
+
+
+def test_hard_negatives_semantics_and_salt_invariance(spark):
+    """ann_hard_negatives: (a) every mined negative bears a label different
+    from its anchor's; (b) ranks are cos_micro-descending with vec_id
+    tie-break; (c) the two-phase tree top-k (salted partial heads → final
+    reduce) is bit-equal to the single-group form (n_salts=1) AND to a
+    numpy brute force over the whole corpus."""
+    import numpy as np
+
+    from pdf_extraction_spark.operators.similarity import (
+        K_NEG,
+        N_ANCHORS,
+        hard_negative_topk,
+        q_ann_hard_negatives,
+        valid_embeddings,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_ann_hard_negatives(spark, sf).collect()
+    emb = {r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+           for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()}
+
+    assert len(rows) == N_ANCHORS * K_NEG
+    by_anchor = {}
+    for r in rows:
+        assert emb[r["vec_id"]][1] == r["label"]
+        assert r["label"] != emb[r["anchor_id"]][1]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for anchor_id, rs in by_anchor.items():
+        assert [r["rank"] for r in rs] == list(range(1, K_NEG + 1))
+        keys = [(-r["cos_micro"], r["vec_id"]) for r in rs]
+        assert keys == sorted(keys)
+
+        # numpy brute force over every different-label candidate
+        aq = np.round(emb[anchor_id][0] * 10000.0).astype(np.int64)
+        alabel = emb[anchor_id][1]
+        cands = []
+        for vid, (v, lab) in emb.items():
+            if lab == alabel:
+                continue
+            q = np.round(v * 10000.0).astype(np.int64)
+            cos = int(np.rint((q @ aq) / (np.sqrt(q @ q) * np.sqrt(aq @ aq)) * 1e6))
+            cands.append((-cos, vid))
+        want = sorted(cands)[:K_NEG]
+        assert [( -r["cos_micro"], r["vec_id"]) for r in rs] == want
+
+    e = valid_embeddings(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    anchors = e.filter(e.vec_id < N_ANCHORS)
+    single = hard_negative_topk(e, anchors, n_salts=1).collect()
+    assert [tuple(r) for r in single] == [tuple(r) for r in rows]
