@@ -571,10 +571,6 @@ FROM k ORDER BY doc_id
 
 
 # --------------------------------------------- CCNet line-grain dedup
-# pack (doc_id, line_idx) into one int64 for the corpus-first arg-min:
-# supports 2^20 lines/doc and ~2^42 docs (ANSI mode throws on overflow
-# rather than wrapping, so a corpus past either bound fails loudly)
-LINE_POS_BITS = 20
 
 
 def ccnet_line_dedup(docs: DataFrame) -> DataFrame:
@@ -603,11 +599,14 @@ def ccnet_line_dedup(docs: DataFrame) -> DataFrame:
             F.regexp_replace(F.lower(F.col("line")), "[^a-z ]", ""), " +", " "
         )
     )
+    # corpus-first position is a STRUCT arg-min, not an int64 packing:
+    # doc_id may be a full-range hash (the curation chain feeds
+    # xxhash64 ids), so any doc_id * 2^k packing overflows ANSI mode
     ex = lines.select(
         "doc_id", "line_idx", "line",
         F.md5(norm).alias("k"),
         (norm == "").alias("blank"),
-        (F.col("doc_id") * F.lit(1 << LINE_POS_BITS) + F.col("line_idx")).alias("pos"),
+        F.struct("doc_id", "line_idx").alias("pos"),
     )
     first = ex.filter(~F.col("blank")).groupBy("k").agg(F.min("pos").alias("first_pos"))
     kept = ex.join(first, "k", "left").withColumn(
@@ -685,7 +684,7 @@ aug AS (
 ex AS (
   SELECT doc_id, s.line_idx, s.line,
          md5(s.norm) AS k, s.norm = '' AS blank,
-         doc_id * {1 << LINE_POS_BITS} + s.line_idx AS pos
+         {{'doc_id': doc_id, 'line_idx': s.line_idx}} AS pos
   FROM (
     SELECT doc_id,
            unnest(list_transform(range(len(lines)), i -> {{

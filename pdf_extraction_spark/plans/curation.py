@@ -74,6 +74,7 @@ def curate_corpus(
     max_chunk_dup: float = 0.8,
     stage_timings: Optional[dict] = None,
     derep: str = "chunk",
+    line_dedup: bool = False,
     semdedup: bool = False,
     sem_tau: float = SEM_DEDUP_TAU,
     audit_leakage: bool = False,
@@ -124,6 +125,52 @@ def curate_corpus(
     )
     n_exact = exact.count()
     _lap("exact_dedup")
+
+    # 2b. OPTIONAL corpus-wide line-grain dedup (--line-dedup): CCNet's
+    # paragraph dedup stage (Wenzek et al. 2020 §3.1) over the extracted
+    # lines — boilerplate that repeats ACROSS documents (nav banners,
+    # footers) survives document-grain dedup and is removed here line by
+    # line, keeping each distinct normalized line's corpus-first
+    # occurrence. Docs whose rewritten text is empty are dropped; text_md5
+    # is recomputed and the exact keep-first re-applied (two docs can
+    # collapse to the same residue — e.g. both reduce to blank-normalized
+    # lines — and the downstream invariant is "curated text_md5 is
+    # unique").
+    n_lines_removed = n_line_chars_removed = 0
+    if line_dedup:
+        from pdf_extraction_spark.operators.filtering import ccnet_line_dedup
+
+        ld = ccnet_line_dedup(
+            exact.select("doc_id", F.col("extracted_text").alias("text"))
+        )
+        rewritten = exact.drop("extracted_text", "text_md5").join(
+            ld.select(
+                "doc_id",
+                F.col("new_text").alias("extracted_text"),
+                "n_lines_removed",
+                "n_chars_removed",
+            ),
+            "doc_id",
+        )
+        rehashed = rewritten.filter(F.trim("extracted_text") != "").withColumn(
+            "text_md5", F.md5("extracted_text")
+        )
+        keep2 = rehashed.groupBy("text_md5").agg(F.min("doc_id").alias("doc_id"))
+        exact = rehashed.join(
+            keep2, ["text_md5", "doc_id"], "left_semi"
+        ).localCheckpoint(eager=True)
+        removed = exact.agg(
+            F.count("*").alias("n"),
+            F.sum("n_lines_removed").alias("l"),
+            F.sum("n_chars_removed").alias("c"),
+        ).collect()[0]
+        n_exact_lined = int(removed["n"])
+        n_lines_removed = int(removed["l"] or 0)
+        n_line_chars_removed = int(removed["c"] or 0)
+        exact = exact.drop("n_lines_removed", "n_chars_removed")
+        _lap("line_dedup")
+    else:
+        n_exact_lined = n_exact
 
     # 3. near-dup dedup over the survivors: verified pairs → components →
     #    keep each cluster's min-id member. Pairs are checkpointed once
@@ -277,6 +324,10 @@ def curate_corpus(
         "n_input": n_input,
         "n_quality_gated": n_gated,
         "n_after_exact_dedup": n_exact,
+        "line_dedup_enabled": bool(line_dedup),
+        "n_after_line_dedup": n_exact_lined,
+        "n_dedup_lines_removed": n_lines_removed,
+        "n_dedup_line_chars_removed": n_line_chars_removed,
         "n_after_neardup": n_neardup,
         "n_after_semdedup": n_semdedup,
         "semdedup_enabled": bool(semdedup),
@@ -313,8 +364,11 @@ def curate_corpus(
         io.write(curated, "curated", mode="overwrite", partition_by=["split"])
         stage_rows = [
             ("input", n_input), ("quality_gate", n_gated),
-            ("exact_dedup", n_exact), ("neardup_dedup", n_neardup),
+            ("exact_dedup", n_exact),
         ]
+        if line_dedup:
+            stage_rows.append(("line_dedup", n_exact_lined))
+        stage_rows.append(("neardup_dedup", n_neardup))
         if semdedup:
             stage_rows.append(("semantic_dedup", n_semdedup))
         stage_rows.append((f"derep_{derep}", n_derep))

@@ -48,6 +48,12 @@ def main(argv=None) -> int:
              "exact-substring coverage (Lee et al. 2022)",
     )
     ap.add_argument(
+        "--line-dedup", action="store_true",
+        help="add CCNet's corpus-wide line-grain dedup stage to --curate "
+             "(normalize/hash each extracted line, keep the corpus-first "
+             "occurrence, reassemble; drops docs whose text empties)",
+    )
+    ap.add_argument(
         "--semdedup", action="store_true",
         help="add the optional semantic-dedup stage to --curate (feature-"
              "hash embeddings, ivf_train k ∝ n centroids, SemDeDup "
@@ -152,7 +158,8 @@ def main(argv=None) -> int:
         try:
             summary["curation"] = curate_corpus(
                 spark, extracted, out_root=args.output,
-                derep=args.derep, semdedup=args.semdedup,
+                derep=args.derep, line_dedup=args.line_dedup,
+                semdedup=args.semdedup,
                 audit_leakage=args.audit_leakage,
                 leakage_fail_frac=args.leakage_fail_frac,
             )

@@ -211,3 +211,49 @@ def test_leakage_stats_broadcast_flip_bit_equal(spark):
     assert set(got) == {"val"}  # test split is clean -> no row
     assert got["val"]["n_held_docs_leaking"] == 1
     assert got["val"]["n_train_docs_implicated"] == 2
+
+
+def test_line_dedup_stage(spark, extracted, tmp_path):
+    """--line-dedup: the CCNet line-grain stage sits between exact dedup
+    and near-dup, removes cross-document boilerplate lines (the whale
+    repeats in the fixture corpus guarantee work), keeps the count chain
+    monotone, preserves the unique-text_md5 invariant on the curated
+    output, and is deterministic."""
+    base = curate_corpus(spark, extracted)
+    assert base["line_dedup_enabled"] is False
+    assert base["n_after_line_dedup"] == base["n_after_exact_dedup"]
+
+    out = str(tmp_path / "ld")
+    on = curate_corpus(spark, extracted, out_root=out, line_dedup=True)
+    assert on["line_dedup_enabled"] is True
+    # upstream stages identical; the stage only ever drops docs
+    for k in ("n_input", "n_quality_gated", "n_after_exact_dedup"):
+        assert on[k] == base[k]
+    assert on["n_after_exact_dedup"] >= on["n_after_line_dedup"] > 0
+    assert on["n_after_line_dedup"] >= on["n_after_neardup"] >= on["n_after_derep"] > 0
+    # cross-doc repeated lines exist in the fixture corpus -> real work
+    assert on["n_dedup_lines_removed"] > 0
+    assert on["n_dedup_line_chars_removed"] > 0
+
+    io = TableIO(spark, out)
+    curated = io.read("curated")
+    n = curated.count()
+    assert curated.select("text_md5").distinct().count() == n
+    # no normalized non-blank line survives twice corpus-wide in the
+    # curated text (the stage's core guarantee, post-redaction aside:
+    # redaction only rewrites PII spans, which the fixture corpus keeps
+    # line-unique)
+    import re
+
+    seen = set()
+    for r in curated.select("text").collect():
+        for line in r["text"].split("\n"):
+            norm = re.sub(" +", " ", re.sub("[^a-z ]", "", line.lower())).strip()
+            if norm:
+                assert norm not in seen, norm
+                seen.add(norm)
+    stages = {r["stage"]: r["n_docs"] for r in io.read("curation_stats").collect()}
+    assert stages["line_dedup"] == on["n_after_line_dedup"]
+
+    again = curate_corpus(spark, extracted, line_dedup=True)
+    assert on == again
