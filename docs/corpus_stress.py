@@ -269,6 +269,53 @@ def main() -> None:
         assert skip["skipped"], skip
         shutil.rmtree(root, ignore_errors=True)
 
+    # 6d. Bloom-prefiltered admission gate (plans/incremental._admit):
+    # ingest a base corpus with admit_unique, then a delta batch that is
+    # HALF exact store-duplicates (same text, new doc_id) and half novel.
+    # The claim under stress: the exact-dedup probe side is the Bloom
+    # CANDIDATE set (≈ true dups + ~0.2% false positives), never the whole
+    # batch — recorded as candidate-set reduction — and the final state
+    # admits exactly the novel half (no false negatives at scale).
+    if "bloom" in ops:
+        import shutil
+
+        from pdf_extraction_spark.cache import release_caches
+        from pdf_extraction_spark.plans.incremental import append_batch
+        from pdf_extraction_spark.sources.tables import TableIO
+
+        root = os.environ.get("STRESS_BLOOM_ROOT", "/dev/shm/stress_bloom")
+        shutil.rmtree(root, ignore_errors=True)
+        new_n = int(os.environ.get("STRESS_INCR_NEW", "10000"))
+        store = docs.filter(F.col("doc_id") >= 2 * new_n).select("doc_id", "text")
+        base = timed("bloom_base_ingest", lambda: append_batch(
+            spark, root, store, "base", admit_unique=True))
+        release_caches()
+        # dup half: store texts under fresh (negative) doc ids; novel half:
+        # docs excluded from the store (bodies hash on doc_id -> unseen)
+        dups = docs.filter(
+            (F.col("doc_id") >= 2 * new_n) & (F.col("doc_id") < 3 * new_n)
+        ).select((-F.col("doc_id") - 1).alias("doc_id"), "text")
+        novel = docs.filter(F.col("doc_id") < new_n).select("doc_id", "text")
+        delta_batch = dups.unionByName(novel)
+        delta = timed("bloom_delta_admit", lambda: append_batch(
+            spark, root, delta_batch, "delta", admit_unique=True))
+        release_caches()
+        # no false negatives: every store dup caught; exactly the novel
+        # half admitted; candidates = dups + the tiny fp tail
+        assert delta["n_store_dups"] == new_n, delta
+        assert delta["n_admitted"] == new_n, delta
+        assert delta["n_bloom_candidates"] <= int(new_n * 1.05) + 100, delta
+        io = TableIO(spark, root)
+        n_corpus = io.read("corpus").count()
+        assert n_corpus == base["n_docs"] + new_n, (n_corpus, base["n_docs"])
+        out["bloom_store_docs"] = base["n_docs"]
+        out["bloom_delta_batch"] = 2 * new_n
+        out["bloom_candidates"] = delta["n_bloom_candidates"]
+        out["bloom_candidate_reduction_pct"] = round(
+            100.0 * (1 - delta["n_bloom_candidates"] / (2 * new_n)), 2)
+        out["bloom_m_bits"] = delta["bloom_m_bits"]
+        shutil.rmtree(root, ignore_errors=True)
+
     # 6. shard manifest: map-only hash projection + one groupBy(shard)
     if "shard" in ops:
         from pdf_extraction_spark.operators.corpus import N_SHARDS, shard_assign
