@@ -134,6 +134,23 @@ def main() -> None:
          plan_of(qs["shard_manifest"](spark, SF)))
     )
 
+    sections.append(
+        ("CCNet line-grain dedup (posexplode → groupBy-MIN keep-first with "
+         "map-side partial aggregation collapsing hot boilerplate keys — NO "
+         "row_number Window anywhere, asserted by "
+         "test_filtering.py::test_line_dedup_no_window_and_joins_shuffle — "
+         "then equi-join back and one per-doc reassembly aggregate)",
+         plan_of(qs["ccnet_line_dedup"](spark, SF)))
+    )
+    sections.append(
+        ("Hard-negative mining (N_ANCHORS-row broadcast nested loop — the one "
+         "legitimate BNLJ: tiny build side, non-equi label predicate — numpy "
+         "ArrowEvalPython scoring, then the salted two-phase tree top-k: "
+         "partial per-(anchor,salt) heads, tiny final reduce; no global sort "
+         "of the scored relation)",
+         plan_of(qs["ann_hard_negatives"](spark, SF)))
+    )
+
     out = ["# Physical plans — optimizer evidence (captured at sf0.01, local[4])", "",
            "Regenerated by `python docs/regen_plans.py`; key shapes asserted",
            "permanently by tests/test_plan_shapes.py.", ""]
