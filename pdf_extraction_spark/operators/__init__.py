@@ -31,9 +31,9 @@ from pdf_extraction_spark.operators import (  # noqa: F401
 # regardless of position is still verified by the in-repo mirror
 # (tests/test_oracle_queries.py, all entries vs DuckDB at sf0.001).
 _PRIORITY = [
-    # NEW this round (r6) — never had a driver row: CCNet line-grain dedup
-    # and embedding hard-negative mining
-    "ccnet_line_dedup", "ann_hard_negatives",
+    # NEW this round (r6) — never had a driver row: CCNet line-grain dedup,
+    # embedding hard-negative mining, quality-classifier training set
+    "ccnet_line_dedup", "ann_hard_negatives", "classifier_training_set",
     # oracles CHANGED in r6 — re-verify first: the two r5
     # hash-fails (CAST(... AS BIGINT) added, VERDICT r5 item 1) and the
     # semdedup pair (fixed k=16 → data-dependent k = max(16, n//256) with a

@@ -104,6 +104,66 @@ FROM s GROUP BY lang, split ORDER BY lang, split
 """
 
 
+# ------------------------------------ quality-classifier training set
+# The fastText-quality-classifier data-prep step (GPT-3 App. A / LLaMA /
+# RedPajama-v2): positives = documents passing a quality proxy, negatives
+# = the rest, balanced per class by a DETERMINISTIC hash order (md5 of
+# the doc key — no RNG, growth-stable: a bigger corpus extends the
+# ranking, it does not reshuffle it).
+CLS_N = 128  # per-class sample size
+CLS_MIN_CHARS = 200
+
+
+def classifier_training_set(docs: DataFrame, n_per_class: int = CLS_N) -> DataFrame:
+    """(doc_id, lang, source, n_chars, label): n_per_class positives
+    (label 1: the quality proxy holds) and n_per_class negatives, each
+    class the first n by md5(doc_id) order.
+
+    Shape at 100 TB: each class branch is orderBy(...).limit(n) —
+    TakeOrderedAndProject (per-partition top-n, tiny driver merge),
+    NEVER a global sort; the union of the two branches is the output.
+    n_per_class is the classifier's training budget (~10^5 docs), not a
+    corpus fraction, so the driver merge stays constant-size."""
+    lab = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.when(
+            (F.col("lang") == "en") & (F.col("n_chars") >= CLS_MIN_CHARS), 1
+        ).otherwise(0).alias("label"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    take = lambda cls: (  # noqa: E731
+        lab.filter(F.col("label") == cls)
+        .orderBy("k", "doc_id")
+        .limit(n_per_class)
+    )
+    return (
+        take(1).unionByName(take(0))
+        .select("doc_id", "lang", "source", "n_chars", "label")
+        .orderBy(F.desc("label"), "doc_id")
+    )
+
+
+def q_classifier_training_set(spark: SparkSession, sf: str) -> DataFrame:
+    return classifier_training_set(T(spark, sf, "documents"))
+
+
+_SQL_CLASSIFIER_SET = f"""
+WITH lab AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE WHEN lang = 'en' AND n_chars >= {CLS_MIN_CHARS}
+              THEN 1 ELSE 0 END AS label,
+         md5(doc_id::VARCHAR) AS k
+  FROM documents
+),
+pos AS (SELECT * FROM lab WHERE label = 1 ORDER BY k, doc_id LIMIT {CLS_N}),
+neg AS (SELECT * FROM lab WHERE label = 0 ORDER BY k, doc_id LIMIT {CLS_N})
+SELECT doc_id, lang, source, n_chars, CAST(label AS INTEGER) AS label
+FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+ORDER BY label DESC, doc_id
+"""
+
+
 QUERIES = {
     "stratified_sample": (q_stratified_sample, _SQL_STRATIFIED),
+    "classifier_training_set": (q_classifier_training_set, _SQL_CLASSIFIER_SET),
 }

@@ -151,6 +151,10 @@ _ONE_ROW_BROADCAST_CROSS = {
     # broadcast-crossed onto the summary row (operators/dedup.py::q_bloom_prefilter,
     # operators/corpus.py::q_mixture_epoch_plan)
     "dedup_bloom_prefilter", "mixture_epoch_plan",
+    # hard negatives: the N_ANCHORS-row anchor table broadcast into a
+    # non-equi (label <>) nested loop against the scan — the documented
+    # legitimate BNLJ (operators/similarity.py::hard_negative_topk)
+    "ann_hard_negatives",
 }
 
 

@@ -94,3 +94,43 @@ def test_clusters_empty_pairs(spark):
     run and the empty bit_xor signature must not crash)."""
     df = spark.createDataFrame([], "doc_a long, doc_b long")
     assert neardup_clusters(df).count() == 0
+
+
+def test_classifier_training_set_balance_and_determinism(spark):
+    """classifier_training_set: exactly CLS_N per class, labels honor the
+    proxy, the per-class pick is the first-CLS_N by md5(doc_id) order
+    (growth-stable, no RNG), invariant under repartitioning, and the plan
+    is TakeOrdered (never a global sort of the corpus)."""
+    import hashlib
+
+    from pdf_extraction_spark.operators.sampling import (
+        CLS_MIN_CHARS,
+        CLS_N,
+        classifier_training_set,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = classifier_training_set(docs).collect()
+    pos = [r for r in out if r["label"] == 1]
+    neg = [r for r in out if r["label"] == 0]
+    assert len(pos) == CLS_N and len(neg) == CLS_N
+    for r in pos:
+        assert r["lang"] == "en" and r["n_chars"] >= CLS_MIN_CHARS
+    for r in neg:
+        assert not (r["lang"] == "en" and r["n_chars"] >= CLS_MIN_CHARS)
+
+    # first-n-by-hash: replay the ranking in pure Python
+    all_docs = docs.select("doc_id", "lang", "n_chars").collect()
+    key = lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)  # noqa: E731
+    want_pos = sorted(
+        (r["doc_id"] for r in all_docs
+         if r["lang"] == "en" and r["n_chars"] >= CLS_MIN_CHARS),
+        key=key,
+    )[:CLS_N]
+    assert sorted(r["doc_id"] for r in pos) == sorted(want_pos)
+
+    again = classifier_training_set(docs.repartition(13)).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+    plan = classifier_training_set(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
