@@ -352,6 +352,7 @@ def stream_ingest_gram_index(
     stream_id: str = "stream",
     max_files_per_trigger: int = 8,
     window: int | None = None,
+    admit_unique: bool = False,
 ):
     """Continuous form of ``plans/incremental.append_batch``: each
     micro-batch of landed documents is appended to the persisted
@@ -365,7 +366,12 @@ def stream_ingest_gram_index(
     of the batch CLI's --run-id resume. ``stream_id`` namespaces epochs so
     a checkpoint reset (which restarts epoch numbering at 0) cannot alias
     an already-ingested batch unless the caller keeps the same id on
-    purpose (the recovery semantics the test pins)."""
+    purpose (the recovery semantics the test pins).
+
+    ``admit_unique`` forwards the Bloom-prefiltered exact-dedup admission
+    gate: a document whose text already landed in ANY earlier micro-batch
+    (or earlier in the same one) is rejected before it reaches the
+    warehouse — the streaming form of ``--ingest --admit-unique``."""
     from pdf_extraction_spark.plans.incremental import append_batch
     from pdf_extraction_spark.operators.sarray import SA_WINDOW
 
@@ -384,6 +390,7 @@ def stream_ingest_gram_index(
             batch_df,
             batch_id=f"{stream_id}-{epoch_id}",
             window=window if window is not None else SA_WINDOW,
+            admit_unique=admit_unique,
         )
         # the gram stage persists per batch; without a per-epoch release an
         # unbounded stream accumulates cached blocks for its whole lifetime

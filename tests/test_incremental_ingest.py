@@ -467,3 +467,41 @@ def test_rebuild_bloom_resizes_and_preserves_admission(spark, tmp_path):
     assert s["n_store_dups"] == 2 and s["n_admitted"] == 1
     assert sorted(r["doc_id"] for r in io.read("corpus")
                   .filter(F.col("batch_id") == "b-c").collect()) == [32]
+
+
+def test_stream_ingest_admit_unique_rejects_cross_epoch_dups(spark, tmp_path):
+    """Streaming ingest with admit_unique=True: a document whose exact
+    text landed in an earlier epoch (doc 10 == doc 1) or earlier in the
+    same epoch is rejected at the gate; the warehouse equals the batch
+    API's admit_unique state for the same waves."""
+    from pdf_extraction_spark.streaming.jobs import stream_ingest_gram_index
+
+    src = str(tmp_path / "landing")
+    wh_s = str(tmp_path / "wh_stream")
+    wh_b = str(tmp_path / "wh_batch")
+
+    append_batch(spark, wh_b, _df(spark, BATCH_A), "b-a", window=W,
+                 admit_unique=True)
+    append_batch(spark, wh_b, _df(spark, BATCH_B), "b-b", window=W,
+                 admit_unique=True)
+
+    _df(spark, BATCH_A).coalesce(1).write.mode("append").parquet(src)
+    q = stream_ingest_gram_index(spark, src, wh_s, str(tmp_path / "c1"),
+                                 window=W, admit_unique=True)
+    q.awaitTermination(120)
+    _df(spark, BATCH_B).coalesce(1).write.mode("append").parquet(src)
+    q = stream_ingest_gram_index(spark, src, wh_s, str(tmp_path / "c1"),
+                                 window=W, admit_unique=True)
+    q.awaitTermination(120)
+
+    io_s, io_b = TableIO(spark, wh_s), TableIO(spark, wh_b)
+    got_corpus = {r["doc_id"] for r in io_s.read("corpus").select("doc_id").collect()}
+    want_corpus = {r["doc_id"] for r in io_b.read("corpus").select("doc_id").collect()}
+    assert got_corpus == want_corpus
+    assert 10 not in got_corpus  # exact dup of doc 1, landed one epoch later
+    assert {11, 12, 13} <= got_corpus  # novel texts admitted
+    # state tables equal up to batch_id naming (stream-N vs b-x)
+    for t, cols in (("gram_index", ["gram_key", "n_old"]), ("doc_hashes", ["h"])):
+        got = sorted(map(tuple, io_s.read(t).select(*cols).collect()))
+        want = sorted(map(tuple, io_b.read(t).select(*cols).collect()))
+        assert got == want, t
