@@ -269,6 +269,52 @@ def main() -> None:
         assert skip["skipped"], skip
         shutil.rmtree(root, ignore_errors=True)
 
+    # 6e. CCNet line-grain dedup under deliberate hot keys: chunk each
+    # doc's words into 10-word lines — the family-shared 20-word prefix
+    # becomes TWO lines shared by the ~N_DOCS/FAMILIES docs of each
+    # family, i.e. ~2·FAMILIES hot line keys with ~n/FAMILIES occurrences
+    # each, exactly the boilerplate skew the groupBy-min keep-first is
+    # built for (a row_number window would sort each hot key inside one
+    # partition). Doubling STRESS_DOCS should ~double wall time (linear),
+    # and the removed-line count pins correctness: every family removes
+    # (members − 1) copies of its 2 shared prefix lines.
+    if "linededup" in ops:
+        from pdf_extraction_spark.operators.filtering import ccnet_line_dedup
+
+        LW = 10
+        # letter-only vocab: the corpus words are 'w0042'-style and CCNet
+        # normalization strips digits — untranslated, EVERY line would
+        # normalize to 'w w w ...' and the whole corpus would collapse to
+        # one line (verified: 1,609,962 of 1,609,972 lines removed).
+        # translate digits to letters so lines keep their identity.
+        docs_l = docs.select(
+            "doc_id", F.translate("text", "0123456789", "abcdefghij").alias("text")
+        )
+        w = F.split(F.col("text"), " ")
+        n_lines_col = F.expr(
+            f"CAST((size(split(text, ' ')) + {LW - 1}) DIV {LW} AS INT)")
+        lined = docs_l.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines_col - 1),
+                    lambda i: F.array_join(F.slice(w, i * LW + 1, LW), " "),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        agg = timed("line_dedup", lambda: ccnet_line_dedup(lined).agg(
+            F.sum("n_lines").alias("nl"),
+            F.sum("n_lines_removed").alias("nr"),
+            F.sum(F.when(F.col("new_text") == "", 1).otherwise(0)).alias("emptied"),
+        ).collect()[0])
+        out["line_dedup_lines"] = int(agg["nl"])
+        out["line_dedup_removed"] = int(agg["nr"])
+        out["line_dedup_docs_emptied"] = int(agg["emptied"])
+        # every family's 2 shared prefix lines survive once each: at least
+        # 2*(members-1) removals per family corpus-wide
+        assert out["line_dedup_removed"] >= 2 * (N_DOCS - FAMILIES), out
+
     # 6d. Bloom-prefiltered admission gate (plans/incremental._admit):
     # ingest a base corpus with admit_unique, then a delta batch that is
     # HALF exact store-duplicates (same text, new doc_id) and half novel.
