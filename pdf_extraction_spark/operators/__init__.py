@@ -32,8 +32,10 @@ from pdf_extraction_spark.operators import (  # noqa: F401
 # (tests/test_oracle_queries.py, all entries vs DuckDB at sf0.001).
 _PRIORITY = [
     # NEW this round (r6) — never had a driver row: CCNet line-grain dedup,
-    # embedding hard-negative mining, quality-classifier training set
+    # embedding hard-negative mining, quality-classifier training set,
+    # int8 embedding quantization report
     "ccnet_line_dedup", "ann_hard_negatives", "classifier_training_set",
+    "embed_int8_stats",
     # oracles CHANGED in r6 — re-verify first: the two r5
     # hash-fails (CAST(... AS BIGINT) added, VERDICT r5 item 1) and the
     # semdedup pair (fixed k=16 → data-dependent k = max(16, n//256) with a

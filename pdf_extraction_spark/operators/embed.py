@@ -202,3 +202,104 @@ QUERIES = {
     "text_embed_neardup": (q_text_embed_neardup, _SQL_TEXT_EMBED),
     "assemble_training_records": (q_assemble_training_records, _SQL_ASSEMBLE),
 }
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization — the vector-store prep step: per vector,
+# symmetric max-abs scaling to int8 ([-127, 127]) plus exact integer
+# reconstruction-error statistics. The scale is quantized to micro units
+# FIRST (one round of an identical double), so the whole downstream chain
+# (q components, nano-unit errors) is a deterministic function both engines
+# compute bit-identically — the same integer-exactness discipline as the
+# quantized-cosine family in operators/similarity.py.
+_INT8_UDF = None
+
+
+def int8_quant_stats(emb_col):
+    """struct(scale_micro, sum_abs_err_nano, max_abs_err_nano) per vector,
+    numpy-vectorized per Arrow batch (the hot path at 10^9 vectors; the
+    SQL twin in _SQL_INT8 documents the exact arithmetic). Zero vectors
+    quantize to all-zero with zero error."""
+    global _INT8_UDF
+    if _INT8_UDF is None:
+
+        @F.pandas_udf(
+            "struct<scale_micro:bigint,sum_abs_err_nano:bigint,max_abs_err_nano:bigint>"
+        )
+        def int8_stats(emb: pd.Series) -> pd.DataFrame:
+            A = np.array(emb.tolist(), dtype=np.float64)
+            scale_micro = np.round(np.abs(A).max(axis=1) * 1e6).astype(np.int64)
+            scale_d = scale_micro / 1e6
+            safe = np.where(scale_d > 0, scale_d, 1.0)[:, None]
+            q = np.round(A / safe * 127)
+            q[scale_micro == 0] = 0.0
+            err_nano = np.abs(
+                np.round((A - q * safe / 127) * 1e9).astype(np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "scale_micro": scale_micro,
+                    "sum_abs_err_nano": err_nano.sum(axis=1),
+                    "max_abs_err_nano": err_nano.max(axis=1),
+                }
+            )
+
+        _INT8_UDF = int8_stats
+    return _INT8_UDF(emb_col)
+
+
+def q_embed_int8_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label int8-quantization report: vector counts, total scale
+    mass, and the summed/worst reconstruction error in exact nano units —
+    the acceptance gate a vector-store migration runs before swapping
+    float32 embeddings for int8. Map-only (one Arrow stage on the scan)
+    plus a single partial-aggregated groupBy(label)."""
+    from pdf_extraction_spark.operators.similarity import valid_embeddings
+
+    emb = valid_embeddings(T(spark, sf, "embeddings"))
+    s = emb.select("label", int8_quant_stats(F.col("embedding")).alias("s"))
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("s.scale_micro").alias("sum_scale_micro"),
+            F.sum("s.sum_abs_err_nano").alias("sum_abs_err_nano"),
+            F.max("s.max_abs_err_nano").alias("max_abs_err_nano"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_INT8 = f"""
+WITH s AS (
+  SELECT label, embedding,
+         CAST(round(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) * 1000000) AS BIGINT) AS scale_micro
+  FROM embeddings
+),
+q AS (
+  SELECT label, scale_micro, embedding,
+         list_transform(embedding,
+           x -> CASE WHEN scale_micro = 0 THEN 0.0
+                ELSE round(CAST(x AS DOUBLE) / (scale_micro / 1000000.0) * 127)
+                END) AS qv
+  FROM s
+),
+e AS (
+  SELECT label, scale_micro,
+         list_transform(range(1, {_SIM_DIM} + 1),
+           i -> abs(CAST(round((CAST(embedding[i] AS DOUBLE)
+                    - qv[i] * (CASE WHEN scale_micro = 0 THEN 1.0
+                               ELSE scale_micro / 1000000.0 END) / 127)
+                    * 1000000000) AS BIGINT))) AS err
+  FROM q
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(scale_micro) AS BIGINT) AS sum_scale_micro,
+       CAST(sum(list_sum(err)) AS BIGINT) AS sum_abs_err_nano,
+       CAST(max(list_max(err)) AS BIGINT) AS max_abs_err_nano
+FROM e GROUP BY label ORDER BY label
+"""
+
+
+QUERIES["embed_int8_stats"] = (q_embed_int8_stats, _SQL_INT8)

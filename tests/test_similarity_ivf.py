@@ -193,3 +193,49 @@ def test_hard_negatives_semantics_and_salt_invariance(spark):
     anchors = e.filter(e.vec_id < N_ANCHORS)
     single = hard_negative_topk(e, anchors, n_salts=1).collect()
     assert [tuple(r) for r in single] == [tuple(r) for r in rows]
+
+
+def test_int8_quant_stats_roundtrip_and_zero_vector(spark):
+    """embed_int8_stats building block: (a) pure-numpy replay matches the
+    Arrow stage bit-for-bit; (b) the per-component reconstruction error is
+    bounded by scale/254 (symmetric int8 guarantee), in nano units;
+    (c) a zero vector quantizes to zero scale and zero error."""
+    import numpy as np
+
+    from pdf_extraction_spark.operators.embed import int8_quant_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: r["s"]
+        for r in emb.select(
+            "vec_id", int8_quant_stats(F.col("embedding")).alias("s")
+        ).collect()
+    }
+    for r in emb.collect():
+        A = np.array(r["embedding"], dtype=np.float64)
+        scale_micro = int(np.round(np.abs(A).max() * 1e6))
+        s = got[r["vec_id"]]
+        assert s["scale_micro"] == scale_micro
+        # error bound: |x - q*scale/127| <= scale/(2*127) per component
+        bound_nano = scale_micro / 1e6 / 254 * 1e9 + 1
+        assert s["max_abs_err_nano"] <= bound_nano, (s, bound_nano)
+        assert s["sum_abs_err_nano"] <= len(A) * bound_nano
+
+    z = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [0.5, -1.0, 0.25, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: r["s"]
+        for r in z.select("vec_id", int8_quant_stats(F.col("embedding")).alias("s")).collect()
+    }
+    assert tuple(rows[0]) == (0, 0, 0)
+    # non-representable components: replay the exact arithmetic (0.5 is
+    # NOT a multiple of 1/127, so the error is real and deterministic)
+    A = np.array([0.5, -1.0, 0.25, 0.0], dtype=np.float64)
+    scale_micro = int(np.round(np.abs(A).max() * 1e6))
+    q = np.round(A / (scale_micro / 1e6) * 127)
+    err = np.abs(np.round((A - q * (scale_micro / 1e6) / 127) * 1e9).astype(np.int64))
+    assert rows[1]["scale_micro"] == scale_micro == 1_000_000
+    assert rows[1]["sum_abs_err_nano"] == int(err.sum())
+    assert rows[1]["max_abs_err_nano"] == int(err.max())
