@@ -257,3 +257,32 @@ def test_line_dedup_stage(spark, extracted, tmp_path):
 
     again = curate_corpus(spark, extracted, line_dedup=True)
     assert on == again
+
+
+def test_all_optional_stages_compose(spark, extracted, tmp_path):
+    """Every optional stage at once (--line-dedup --semdedup --audit-leakage
+    with a permissive fail bar): the chain runs end-to-end, the count
+    chain stays monotone through ALL stages, the stats table records each
+    one, and the curated output keeps the unique-text invariant."""
+    out = str(tmp_path / "all")
+    stats = curate_corpus(
+        spark, extracted, out_root=out,
+        line_dedup=True, semdedup=True,
+        audit_leakage=True, leakage_fail_frac=1.0,
+    )
+    assert (stats["n_input"] >= stats["n_quality_gated"]
+            >= stats["n_after_exact_dedup"] >= stats["n_after_line_dedup"]
+            >= stats["n_after_neardup"] >= stats["n_after_semdedup"]
+            >= stats["n_after_derep"] > 0)
+    assert sum(stats["split_mix"].values()) == stats["n_after_derep"]
+    assert set(stats["leakage"]) == {s for s in stats["split_mix"] if s != "train"}
+
+    io = TableIO(spark, out)
+    stages = {r["stage"]: r["n_docs"] for r in io.read("curation_stats").collect()}
+    for name, key in (("line_dedup", "n_after_line_dedup"),
+                      ("semantic_dedup", "n_after_semdedup"),
+                      ("derep_chunk", "n_after_derep")):
+        assert stages[name] == stats[key], name
+    curated = io.read("curated")
+    assert curated.select("text_md5").distinct().count() == curated.count()
+    assert io.read("leakage_audit").count() >= 1
