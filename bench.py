@@ -70,6 +70,8 @@ HEADLINE = (
     # r6 additions
     "ccnet_line_dedup",
     "ann_hard_negatives",
+    "classifier_training_set",
+    "embed_int8_stats",
 )
 
 N_CONVS = int(os.environ.get("BENCH_N_CONVS", "8000"))  # ≈ 136k turns with whales
