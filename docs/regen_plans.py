@@ -151,6 +151,18 @@ def main() -> None:
          plan_of(qs["ann_hard_negatives"](spark, SF)))
     )
 
+    sections.append(
+        ("Classifier training set (each class branch is TakeOrderedAndProject — "
+         "per-partition top-n by the md5 order key + constant driver merge, "
+         "never a global Sort exchange of the corpus)",
+         plan_of(qs["classifier_training_set"](spark, SF)))
+    )
+    sections.append(
+        ("int8 embedding quantization report (ONE ArrowEvalPython stage on the "
+         "scan → single partial-aggregated groupBy(label); no joins, no windows)",
+         plan_of(qs["embed_int8_stats"](spark, SF)))
+    )
+
     out = ["# Physical plans — optimizer evidence (captured at sf0.01, local[4])", "",
            "Regenerated by `python docs/regen_plans.py`; key shapes asserted",
            "permanently by tests/test_plan_shapes.py.", ""]
