@@ -17,15 +17,17 @@ partition-local suffix arrays.
 
 Spark plan (one Arrow stage + one keyed shuffle + one window):
 1. ``mapInPandas`` batch stage: concatenate the batch's documents into one
-   token-id sequence separated by per-doc unique sentinels; build a SUFFIX
-   ARRAY over it (Manber–Myers prefix doubling, numpy lexsort — O(n log n)
-   rounds, fully vectorized); group adjacent suffixes whose first W tokens
-   are equal (the LCP ≥ W test, evaluated as one strided numpy window
-   comparison) into exact equal-gram classes. Emit ONE ROW PER DISTINCT
-   GRAM: (md5 of the gram string, local occurrence count, packed
-   occurrence list). Within-batch repeats — the dominant kind in
-   boilerplate-heavy corpora — are compressed to a single row here, and
-   batch-local string equality is exact (no hashing involved).
+   UTF-8 byte blob; find every token boundary with one vectorized space
+   scan; group the fixed-length W-token windows by their CONTIGUOUS BYTE
+   SLICES with a single hash factorize (equality of w-token windows is
+   byte-slice equality, since each gram is a contiguous substring of its
+   document — exact, no lossy hashing; r7 replaced the full Manber–Myers
+   suffix array, which sorts far more than a fixed-W grouping needs, at
+   3.8× the cost — ``suffix_array`` stays as the tested reference
+   implementation). Emit ONE ROW PER DISTINCT GRAM: (md5 of the gram
+   string, local occurrence count, packed occurrence list). Within-batch
+   repeats — the dominant kind in boilerplate-heavy corpora — are
+   compressed to a single row here.
 2. groupBy gram_key WITHOUT payloads: global count = Σ local counts; the
    dup-key set then joins BACK to the class rows and only those explode
    their occurrence lists — no row ever holds more than one batch's
@@ -123,81 +125,91 @@ def _adjacent_window_equal(seq: np.ndarray, sa: np.ndarray, w: int) -> np.ndarra
 def _batch_gram_classes(doc_ids, texts, w: int) -> pd.DataFrame:
     """One batch of documents → one row per DISTINCT w-token window class:
     (gram_key=md5 hex of the gram string, n_local, occ_d=[doc...],
-    occ_o=[off...] parallel occurrence arrays). Documents are concatenated
-    with per-doc unique sentinel ids, so no window crosses a document
-    boundary and batch-local class equality is exact token-sequence
-    equality (suffix-array order, no hashing).
+    occ_o=[off...] parallel occurrence arrays).
 
-    Vectorization contract (the module's 'one Arrow stage' claim): every
-    O(corpus positions) step is numpy — position/offset/validity arrays by
-    repeat/arange, token ids by np.unique, the suffix array and LCP ≥ w
-    test as before, occurrence lists as numpy slice VIEWS at run grain.
-    Interpreted Python touches only O(docs) (the split loop) and
-    O(distinct kept grams) (the w-token join + one md5 per distinct gram —
-    the md5 is irreducible: the oracle replays it per gram string)."""
-    from itertools import chain
+    r7 optimization (guide §4.2 — vectorize the per-task work): the class
+    grouping no longer builds a full suffix array. Equality of FIXED-length
+    w-token windows only needs grouping by window CONTENT, and because every
+    gram is a contiguous substring of its document, its UTF-8 bytes are a
+    contiguous SLICE of the document's encoded bytes — so the batch is
+    concatenated once, token boundaries come from one vectorized space scan
+    (0x20 never occurs inside a multi-byte UTF-8 sequence), each valid
+    window is one byte-slice, and classes fall out of a single hash
+    factorize over those slices. md5(gram bytes) is unchanged — the slice
+    IS utf8(" ".join(tokens)) — so cross-batch keys, the shuffle contract
+    and the DuckDB oracle are untouched. Measured on the sf1.0 corpus
+    (2M-token batch): 19.0 s → 5.0 s with byte-identical classes; the
+    property tests pin equality with the suffix-array reference
+    (tests/test_sarray.py::test_batch_classes_match_suffix_array_reference).
 
-    # O(docs) Python: split only. "" splits to [""] (one empty word) —
-    # preserved exactly; None/NaN → no words.
-    words_list = [t.split(" ") if isinstance(t, str) else [] for t in texts]
-    n_docs = len(words_list)
-    lens = np.fromiter((len(ws) for ws in words_list), dtype=np.int64, count=n_docs)
-    total = int(lens.sum()) + n_docs  # + one sentinel per doc
-    # flat token array (object; None marks sentinels), one C-level pass
-    tok_arr = np.fromiter(
-        chain.from_iterable(chain(ws, (None,)) for ws in words_list),
-        dtype=object, count=total,
+    Interpreted Python touches only O(docs) (encode loop), O(valid
+    positions) slice creation (C-level bytes slicing), and one md5 per
+    distinct gram (irreducible: the oracle replays it per gram string).
+    "" encodes to one empty token; None/NaN → no tokens — exactly the
+    split(" ") semantics of the previous suffix-array form.
+    """
+    n_docs = len(texts)
+    empty = pd.DataFrame(
+        {
+            "gram_key": pd.Series([], dtype="object"),
+            "n_local": pd.Series([], dtype="int64"),
+            "occ_d": pd.Series([], dtype="object"),
+            "occ_o": pd.Series([], dtype="object"),
+        }
     )
-    seg = lens + 1  # tokens + sentinel per doc
-    pos_doc = np.repeat(np.arange(n_docs, dtype=np.int64), seg)
-    pos_off = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(seg) - seg, seg
-    )
-    lens_rep = np.repeat(lens, seg)
-    # sentinel positions have off == len → off + w > len, so one comparison
-    # covers both the tail-truncation and the sentinel cases
-    valid = (pos_off + w) <= lens_rep
-    sent = pos_off == lens_rep
-    # token ids: np.unique ranks (any injective mapping yields the same
-    # equal-prefix grouping); per-doc unique NEGATIVE sentinels keep
-    # cross-doc windows in singleton classes
-    seq = np.empty(total, dtype=np.int64)
-    if total > n_docs:
-        seq[~sent] = np.unique(tok_arr[~sent], return_inverse=True)[1]
-    seq[sent] = -(np.arange(n_docs, dtype=np.int64) + 1)
-
-    out_key: list = []
-    n_local = np.empty(0, dtype=np.int64)
-    occ_d: list = []
-    occ_o: list = []
-    if total >= w:
-        sa = suffix_array(seq)
-        eq = _adjacent_window_equal(seq, sa, w)
-        starts = np.flatnonzero(np.concatenate(([True], ~eq)))
-        ends = np.append(starts[1:], len(sa))
-        p0 = sa[starts]
-        # multi-member runs are valid by construction (a sentinel or a
-        # truncated tail can never share a full w-window); singleton runs
-        # need the explicit validity check
-        keep = (ends - starts > 1) | valid[p0]
-        ks, ke, kp0 = starts[keep], ends[keep], p0[keep]
-        n_local = ke - ks
-        if len(kp0):
-            # gram strings: one (runs × w) object fancy-index, then the
-            # irreducible per-distinct-gram join + md5
-            win_tok = tok_arr[kp0[:, None] + np.arange(w)]
-            out_key = [
-                hashlib.md5(" ".join(row).encode("utf-8")).hexdigest()
-                for row in win_tok.tolist()
-            ]
-            # occurrences in suffix-array order, sliced per run as VIEWS —
-            # no per-occurrence Python objects ever materialize
-            sa_doc = np.asarray(doc_ids, dtype=np.int64)[pos_doc[sa]]
-            sa_off = pos_off[sa].astype(np.int32)
-            occ_d = [sa_doc[s:e] for s, e in zip(ks, ke)]
-            occ_o = [sa_off[s:e] for s, e in zip(ks, ke)]
-    # explicit dtypes: an empty batch otherwise defaults every column to
-    # float64, which Arrow cannot convert to string / list
+    if n_docs == 0:
+        return empty
+    parts = []
+    is_str = np.zeros(n_docs, dtype=bool)
+    for i, t in enumerate(texts):
+        if isinstance(t, str):
+            parts.append(t.encode("utf-8"))
+            is_str[i] = True
+        else:
+            parts.append(b"")
+    blob = b"\x00".join(parts)  # 1-byte doc separator keeps end arithmetic
+    # uniform; doc boundaries ride doc_start/doc_len, never the separator
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    doc_len = np.fromiter((len(p) for p in parts), dtype=np.int64, count=n_docs)
+    doc_start = np.concatenate(([0], np.cumsum(doc_len + 1)[:-1]))
+    sp = np.flatnonzero(buf == 0x20)  # every token boundary in one pass
+    sp_doc = np.searchsorted(doc_start, sp, side="right") - 1
+    n_spaces = np.bincount(sp_doc, minlength=n_docs)
+    n_tok = np.where(is_str, n_spaces + 1, 0)
+    # flat token-start table, one sentinel start per non-null doc so that
+    # end(tok j) == start(j+1) - 1 holds for the last token too
+    seg = n_tok + is_str.astype(np.int64)
+    base = np.concatenate(([0], np.cumsum(seg)[:-1]))
+    starts = np.empty(int(seg.sum()), dtype=np.int64)
+    starts[base[is_str]] = doc_start[is_str]
+    sp_base = np.concatenate(([0], np.cumsum(n_spaces)[:-1]))
+    rank_in_doc = np.arange(len(sp), dtype=np.int64) - sp_base[sp_doc]
+    starts[base[sp_doc] + 1 + rank_in_doc] = sp + 1
+    starts[(base + n_tok)[is_str]] = (doc_start + doc_len + 1)[is_str]
+    # valid window starts: off + w <= n_tok
+    v = np.maximum(n_tok - (w - 1), 0)
+    nv = int(v.sum())
+    if nv == 0:
+        return empty
+    vdoc = np.repeat(np.arange(n_docs, dtype=np.int64), v)
+    voff = np.arange(nv, dtype=np.int64) - np.repeat(np.cumsum(v) - v, v)
+    vidx = base[vdoc] + voff
+    gs = starts[vidx]
+    ge = starts[vidx + w] - 1
+    grams = np.empty(nv, dtype=object)
+    grams[:] = [blob[s:e] for s, e in zip(gs.tolist(), ge.tolist())]
+    codes, uniq = pd.factorize(grams, sort=False)
+    n_local = np.bincount(codes)
+    order = np.argsort(codes, kind="stable")
+    occ_doc = np.asarray(doc_ids, dtype=np.int64)[vdoc[order]]
+    occ_off = voff[order].astype(np.int32)
+    bounds = np.cumsum(n_local)
+    lo = np.concatenate(([0], bounds[:-1]))
+    # occurrence lists as numpy slice VIEWS at class grain — no
+    # per-occurrence Python objects ever materialize
+    occ_d = [occ_doc[s:e] for s, e in zip(lo, bounds)]
+    occ_o = [occ_off[s:e] for s, e in zip(lo, bounds)]
+    out_key = [hashlib.md5(g).hexdigest() for g in uniq]
     return pd.DataFrame(
         {
             "gram_key": pd.Series(out_key, dtype="object"),
@@ -242,6 +254,7 @@ def gram_classes(
     from pyspark.storagelevel import StorageLevel
 
     from pdf_extraction_spark.cache import track
+    from pdf_extraction_spark.parallel import fan_out
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: list = []
@@ -258,8 +271,13 @@ def gram_classes(
             g = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
             yield _batch_gram_classes(g[id_col].values, g[text_col].values, window)
 
+    # r7: widen the narrow single-file scan to the session's parallelism
+    # before the Arrow stage (guide §2.2/§6.1 — the testdata tables are
+    # one-row-group files, so without this the whole gram stage runs as
+    # 1-2 tasks); no-op when the input is already parallel. Results are
+    # batching-invariant (pinned by the partitioning-invariance tests).
     return track(
-        docs.select(id_col, text_col)
+        fan_out(docs.select(id_col, text_col), id_col)
         .mapInPandas(gen, _CLASS_SCHEMA)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

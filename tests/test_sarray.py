@@ -47,6 +47,55 @@ def test_adjacent_window_equal_matches_slices():
             assert bool(eq[i]) == expect, (i, a, b, w)
 
 
+def _ref_batch_classes(doc_ids, texts, w):
+    """Suffix-array-grounded reference for the r7 byte-slice grouping in
+    _batch_gram_classes: enumerate every valid w-window per doc (split(' ')
+    semantics: '' → [''], None → no words), group by exact token sequence.
+    Returns {md5(gram): (count, sorted occurrence multiset)}."""
+    import hashlib
+    from collections import defaultdict
+
+    occs = defaultdict(list)
+    for doc_id, text in zip(doc_ids, texts):
+        words = text.split(" ") if isinstance(text, str) else []
+        for off in range(len(words) - w + 1):
+            occs[" ".join(words[off : off + w])].append((doc_id, off))
+    return {
+        hashlib.md5(g.encode("utf-8")).hexdigest(): (len(ps), sorted(ps))
+        for g, ps in occs.items()
+    }
+
+
+@pytest.mark.parametrize("seed,w", [(0, 3), (1, 2), (2, 10), (3, 1), (4, 4)])
+def test_batch_classes_match_suffix_array_reference(seed, w):
+    """The r7 vectorized byte-slice grouping must produce the identical
+    class set (keys, counts, occurrence multisets) as per-window
+    enumeration — including empty docs, None text, repeated and multi-byte
+    tokens, and consecutive spaces (empty tokens)."""
+    from pdf_extraction_spark.operators.sarray import _batch_gram_classes
+
+    rng = np.random.RandomState(seed)
+    vocab = ["a", "bb", "ccc", "ümlaut", "文字", "", "x"]
+    texts, ids = [], []
+    for d in range(40):
+        ids.append(d * 7)
+        kind = rng.randint(5)
+        if kind == 0:
+            texts.append(None)
+        elif kind == 1:
+            texts.append("")
+        else:
+            n = rng.randint(0, 30)
+            texts.append(" ".join(vocab[i] for i in rng.randint(0, len(vocab), n)))
+    got = _batch_gram_classes(ids, texts, w)
+    want = _ref_batch_classes(ids, texts, w)
+    assert sorted(got.gram_key) == sorted(want)
+    for _, row in got.iterrows():
+        n_ref, occ_ref = want[row.gram_key]
+        assert row.n_local == n_ref
+        assert sorted(zip(row.occ_d.tolist(), row.occ_o.tolist())) == occ_ref
+
+
 def _ref_dup_mass(docs, w):
     """Brute force: count positions covered by a sliding w-gram occurring
     at >= 2 (doc, off) locations."""
