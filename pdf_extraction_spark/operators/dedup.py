@@ -46,6 +46,7 @@ pdf_extraction_spark.cache and released at the next action boundary.
 from __future__ import annotations
 
 import hashlib
+import os as _os
 
 import numpy as np
 import pandas as pd
@@ -53,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extraction_spark.cache import release_caches, track
+from pdf_extraction_spark.parallel import fan_out
 from pdf_extraction_spark.sources.tables import load_testdata as T
 
 N_HASHES = 8
@@ -129,12 +131,16 @@ def grams_udf(text_col, shingle: int = SHINGLE):
 
 
 def _min_sigs(grams: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}) narrow signature frame from (doc_id, grams):
-    ONE groupBy of k min-aggregates over the exploded shingles (no k× row
-    duplication). The single definition of the seed/hash format — both the
-    batch path and the incremental index derive from it, so they cannot
-    desynchronize (the delta==batch contract in tests/test_dedup_cap.py
-    rides this)."""
+    """SQL-twin documentation form of the signature computation: (doc_id,
+    mh0..mh{k-1}) from (doc_id, grams) via ONE groupBy of k min-aggregates
+    over the exploded shingles. DO NOT use in hot paths since r7: joining
+    the wide gram arrays back to this aggregate shuffles + sorts the whole
+    gram payload (~400 MB at sf1.0 — measured as the bulk of the signature
+    stage), which `minhash_signatures` now avoids by computing the same
+    md5 min-hashes inside the shingling Arrow stage. Parity is pinned by
+    tests/test_dedup_cap.py::test_python_signatures_match_min_sigs_twin —
+    this remains the single SQL-shaped definition of the seed/hash format
+    the DuckDB oracle mirrors."""
     exploded = grams.select("doc_id", F.explode("grams").alias("g"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("g")))).alias(f"mh{s}")
@@ -144,9 +150,59 @@ def _min_sigs(grams: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, shingle: int = SHINGLE) -> DataFrame:
-    """One row per doc: grams + mh0..mh{k-1}."""
-    grams = docs.select("doc_id", grams_udf(F.col("text"), shingle).alias("grams"))
-    return grams.join(_min_sigs(grams, n_hashes), "doc_id", "inner")
+    """One row per doc with ≥1 shingle: (doc_id, grams, mh0..mh{k-1}).
+
+    r7 shape (guide §2.4 — remove shuffles outright): ONE Arrow stage
+    computes shingles AND the k md5 min-hashes per document. The previous
+    form aggregated min-hashes JVM-side over exploded shingles and joined
+    them back to the gram arrays — a sort-merge join that shuffled + sorted
+    the whole gram payload twice for zero information gain (the signatures
+    are a pure per-document function). Python md5 over 'seed:gram' is
+    byte-identical to F.md5 (lowercase hex; min over the 16-byte digests
+    orders exactly like min over their hex strings — hex encoding is
+    order-preserving), so signatures, bands and the oracle are unchanged.
+    Docs with zero shingles are dropped, matching the previous inner join
+    against the exploded aggregate. fan_out widens the narrow single-file
+    scan first (guide §2.2; no-op on already-parallel inputs)."""
+    import hashlib as _hl
+
+    prefixes = [f"{s}:".encode("utf-8") for s in range(n_hashes)]
+    schema = "doc_id long, grams array<string>, " + ", ".join(
+        f"mh{s} string" for s in range(n_hashes)
+    )
+
+    def gen(batches):
+        md5 = _hl.md5
+        for pdf in batches:
+            out_ids, out_grams = [], []
+            out_mh: list = [[] for _ in range(n_hashes)]
+            for doc_id, t in zip(pdf["doc_id"].values, pdf["text"].values):
+                w = t.lower().split(" ") if isinstance(t, str) else []
+                if len(w) < shingle:
+                    continue
+                grams = list(dict.fromkeys(
+                    " ".join(w[i : i + shingle]) for i in range(len(w) - shingle + 1)
+                ))
+                if not grams:
+                    continue
+                best = [None] * n_hashes
+                for g in grams:
+                    gb = g.encode("utf-8")
+                    for s in range(n_hashes):
+                        d = md5(prefixes[s] + gb).digest()
+                        if best[s] is None or d < best[s]:
+                            best[s] = d
+                out_ids.append(doc_id)
+                out_grams.append(grams)
+                for s in range(n_hashes):
+                    out_mh[s].append(best[s].hex())
+            cols = {"doc_id": pd.Series(out_ids, dtype="int64"),
+                    "grams": pd.Series(out_grams, dtype="object")}
+            for s in range(n_hashes):
+                cols[f"mh{s}"] = pd.Series(out_mh[s], dtype="object")
+            yield pd.DataFrame(cols)
+
+    return fan_out(docs, "doc_id").select("doc_id", "text").mapInPandas(gen, schema)
 
 
 def _band_rows(sigs: DataFrame) -> DataFrame:
@@ -188,20 +244,42 @@ def lsh_band_candidates(sigs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -
     )
 
 
-def _verify_jaccard(cand: DataFrame, grams: DataFrame) -> DataFrame:
+VERIFY_BROADCAST_DOC_CAP = int(
+    _os.environ.get("SPARK_VERIFY_BROADCAST_DOC_CAP", "64000")
+)  # ~500 MB of gram arrays per broadcast side at the observed ~7.5 KB/doc
+
+
+def _verify_jaccard(cand: DataFrame, grams: DataFrame,
+                    n_docs: int | None = None,
+                    broadcast_doc_cap: int = VERIFY_BROADCAST_DOC_CAP) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (doc_a, doc_b)
     pairs; emits pairs whose ROUNDED jaccard (6 dp — matching the oracle's
     filter exactly) clears JACCARD_MIN. Shared by the batch and the
-    incremental pipelines so the delta==batch contract can't drift."""
+    incremental pipelines so the delta==batch contract can't drift.
+
+    r7 (guide §8 — never shuffle a heavy payload per pair): attaching the
+    gram arrays with two sort-merge joins shuffled ~7.5 KB of shingles PER
+    CANDIDATE PAIR (3.9M pairs at sf1.0 ≈ 30 GB in flight; measured 20.5 s
+    → 10.3 s). When the caller knows the gram table is corpus-bounded
+    (``n_docs`` ≤ the cap), both gram sides are BROADCAST instead, so the
+    pair set never moves and the payload crosses once as one broadcast per
+    side. Above the cap (or unknown) the shuffle join remains — exact
+    either way. |A∪B| is computed as |A|+|B|−|A∩B| (the same integer, so
+    the rounded division is bit-identical) to drop the second per-pair
+    set build."""
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    if n_docs is not None and n_docs <= broadcast_doc_cap:
+        ga, gb = F.broadcast(ga), F.broadcast(gb)
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
         cand.join(ga, "doc_a").join(gb, "doc_b")
+        .select("doc_a", "doc_b", F.size("grams_a").alias("_na"),
+                F.size("grams_b").alias("_nb"), inter.alias("_i"))
         .select(
             "doc_a", "doc_b",
             F.round(
-                F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
-                / F.size(F.array_union("grams_a", "grams_b")),
+                F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i")),
                 6,
             ).alias("jaccard"),
         )
@@ -219,8 +297,11 @@ def minhash_lsh_pairs(docs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -> 
     # sides); persist it or Catalyst recomputes the shingle/minhash subtree
     # per consumer (measured 25s → 3s at sf0.1)
     sigs = track(minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK))
+    # the count materializes the cache the three consumers need anyway and
+    # feeds the broadcast-vs-shuffle gate of the verify attach (guide §3.1)
+    n_docs = sigs.count()
     cand = lsh_band_candidates(sigs, max_band_width)
-    return _verify_jaccard(cand, sigs.select("doc_id", "grams"))
+    return _verify_jaccard(cand, sigs.select("doc_id", "grams"), n_docs=n_docs)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -249,8 +330,14 @@ def build_minhash_index(docs: DataFrame):
     recompute is the cheap column-pruned shingling map pass, and
     checkpointing the wide gram arrays is the r4 shape-(b) cost that
     LOST the adjudication."""
-    grams = docs.select("doc_id", grams_udf(F.col("text")).alias("grams"))
-    sigs = _min_sigs(grams)
+    # r7: signatures come from the one-stage Arrow form (see
+    # minhash_signatures) — no gram-payload join; grams stay a SEPARATE
+    # lazy shingling projection (cheap map pass, per the r4 adjudication
+    # against checkpointing the wide arrays)
+    grams = fan_out(docs, "doc_id").select(
+        "doc_id", grams_udf(F.col("text")).alias("grams")
+    )
+    sigs = minhash_signatures(docs)
     # coalesce to core count: downstream these rows are UNIONED with the
     # new batch's bands, and a union of two shuffle-partitioned relations
     # scans n+m partitions — at 128 shuffle partitions that is ~256
@@ -275,6 +362,7 @@ def incremental_minhash_pairs(
     index_grams: DataFrame,
     new_docs: DataFrame,
     max_band_width: int = MAX_BAND_WIDTH,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Incremental LSH index maintenance: near-dup pairs INVOLVING the new
     batch, without recomputing any old-corpus signature. New bands join the
@@ -311,7 +399,9 @@ def incremental_minhash_pairs(
         .distinct()
     )
     grams_all = index_grams.unionByName(new_sigs.select("doc_id", "grams"))
-    return _verify_jaccard(cand, grams_all)
+    # n_docs (when the caller knows the corpus row count cheaply) gates the
+    # broadcast-vs-shuffle attach inside the verify — see _verify_jaccard
+    return _verify_jaccard(cand, grams_all, n_docs=n_docs)
 
 
 def q_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -327,7 +417,9 @@ def q_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") % 10 != 0)
     new = docs.filter(F.col("doc_id") % 10 == 0)
     bands, grams = build_minhash_index(old)
-    return incremental_minhash_pairs(bands, grams, new)
+    # one cheap count-star on the base table (conservative upper bound on
+    # the union gram-table size) gates the verify's broadcast attach
+    return incremental_minhash_pairs(bands, grams, new, n_docs=docs.count())
 
 
 _SQL_MINHASH = f"""
@@ -417,7 +509,9 @@ def q_simhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash blocking buckets: docs grouped by top-16-bit prefix.
     Full DuckDB oracle (md5 word hashes match bit-for-bit)."""
     docs = T(spark, sf, "documents")
-    sims = docs.select("doc_id", simhash_prefix16(F.col("text")).alias("prefix"))
+    sims = fan_out(docs, "doc_id").select(
+        "doc_id", simhash_prefix16(F.col("text")).alias("prefix")
+    )  # r7 fan_out: see minhash_signatures
     return (
         sims.groupBy("prefix")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))

@@ -108,8 +108,13 @@ def dsir_scores(docs: DataFrame, target: F.Column) -> DataFrame:
     comes within 1e-5 of a boundary — ≥500× the worst plausible ln
     divergence — so a dataset regen that lands near a boundary is caught
     before the driver hash gate sees it."""
+    from pdf_extraction_spark.parallel import fan_out
+
     words = F.split(F.lower(F.col("text")), " ")
-    ex = docs.select(
+    # r7: the bigram hash explode (md5+conv per adjacent word pair) is the
+    # dominant map work and the documents scan is one task — widen first
+    # (guide §2.2; no-op on already-parallel inputs)
+    ex = fan_out(docs, "doc_id").select(
         "doc_id", target.alias("is_target"), F.explode(_bigram_buckets(words)).alias("b")
     )
     ex = track(ex.persist())  # feeds the distribution fit AND the per-doc scoring

@@ -420,7 +420,12 @@ _QP_DOC = ("scan", "filter")
 
 
 def q_classifier_cascade(spark: SparkSession, sf: str) -> DataFrame:
-    docs = T(spark, sf, "documents")
+    from pdf_extraction_spark.parallel import fan_out
+
+    # r7: the cascade is 6 regex/occurrence scans over the full text — by
+    # far the heaviest map work in this module — and the documents scan is
+    # one task (single-row-group file); widen it first (guide §2.2).
+    docs = fan_out(T(spark, sf, "documents"), "doc_id")
     kind, conf, method = classify_cascade_exprs(F.col("text"), _MEMO_DOC, _QP_DOC)
     return (
         docs.select(kind.alias("doc_kind"), conf.alias("confidence"), method.alias("method"))

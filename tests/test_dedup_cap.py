@@ -54,6 +54,33 @@ def test_cap_collapses_hot_band_blowup(spark, hot_docs):
     assert capped * 5 < uncapped, (capped, uncapped)
 
 
+def test_python_signatures_match_min_sigs_twin(spark, hot_docs):
+    """The r7 one-stage Arrow signature computation must emit the exact
+    md5 min-hashes of the _min_sigs SQL twin (the seed/hash format the
+    DuckDB oracle mirrors), and the same doc set (zero-shingle docs
+    dropped) plus identical gram lists as grams_udf."""
+    from pdf_extraction_spark.operators.dedup import _min_sigs, grams_udf
+
+    docs = hot_docs.unionByName(
+        spark.createDataFrame(
+            [(9001, "one two"), (9002, ""), (9003, None)],
+            "doc_id long, text string",
+        )
+    )
+    got = minhash_signatures(docs).orderBy("doc_id").collect()
+    grams = docs.select("doc_id", grams_udf(F.col("text")).alias("grams"))
+    want = (
+        grams.join(_min_sigs(grams), "doc_id", "inner")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert a["grams"] == b["grams"], a["doc_id"]
+        for s in range(8):
+            assert a[f"mh{s}"] == b[f"mh{s}"], (a["doc_id"], s)
+
+
 def test_true_neardup_pair_survives_cap(spark, hot_docs):
     pairs = minhash_lsh_pairs(hot_docs, max_band_width=MAX_BAND_WIDTH)
     hit = pairs.filter((F.col("doc_a") == N_DOCS) & (F.col("doc_b") == N_DOCS + 1)).collect()
