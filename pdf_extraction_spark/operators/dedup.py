@@ -754,6 +754,53 @@ QUERIES = {
 MAX_CC_ROUNDS = 100  # alternation converges in O(log² n) rounds; real pair
                      # graphs take < 10 — 100 is a raise-guard, not a cap
 
+# r7: below this edge count the components are solved with one driver-side
+# union-find instead of the distributed star contraction. Rationale (guide
+# §1.2/§7.3): each contraction round costs 2 eager checkpoints + 1
+# signature collect = dozens of scheduler stages over a pair graph that is
+# SPARSE BY CONSTRUCTION (verified near-dup pairs), so wall-clock is pure
+# driver/scheduling overhead — measured ~10 s at sf1.0 for ~2k edges. The
+# cap bounds driver memory (2M edges ≈ 32 MB of longs — the same order as
+# the gated centroid/broadcast collects elsewhere in the repo); above it
+# the exact distributed path runs unchanged, so 100 TB-scale pair graphs
+# keep the star-contraction shape.
+CC_LOCAL_EDGE_CAP = int(_os.environ.get("SPARK_CC_LOCAL_EDGE_CAP", "2000000"))
+
+
+def _local_components(spark, E: DataFrame) -> DataFrame:
+    """(doc_id, keeper) via driver union-find over a CAPPED edge list —
+    bit-identical to the star-contraction fixed point (keeper = component
+    minimum; every edge vertex labelled)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in E.select("a", "b").toPandas().itertuples(index=False):
+        a, b = int(a), int(b)
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    rows = pd.DataFrame(
+        {"doc_id": list(parent), "keeper": [comp_min[find(v)] for v in parent]}
+    ).astype("int64").sort_values("doc_id")
+    return spark.createDataFrame(rows, "doc_id long, keeper long")
+
 
 def _large_star(E: DataFrame) -> DataFrame:
     """Edges (a,b), a<b → for every node, link its larger neighbors to the
@@ -805,18 +852,26 @@ def neardup_clusters(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
     MAX_CC_ROUNDS rounds — wrong clusters are never returned silently.
     ``stats`` (optional) receives {"rounds", "edges"} for scale telemetry.
     """
-    verts = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select("doc_b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     E = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     sig = _edge_sig(E)
+    # r7 fast path: sparse pair graphs (the overwhelmingly common case —
+    # verified near-dup pairs) are solved on the driver under the edge cap;
+    # the distributed contraction below is the at-scale fallback.
+    if 0 < sig[0] <= CC_LOCAL_EDGE_CAP:
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["edges"] = sig[0]
+        return _local_components(pairs.sparkSession, E)
+    verts = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     rounds = 0
     if sig[0]:
         for rounds in range(1, MAX_CC_ROUNDS + 1):

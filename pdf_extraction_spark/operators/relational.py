@@ -816,18 +816,23 @@ def q_tpch_q5_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
     lineitem = T(spark, sf, "lineitem")
 
-    dims = (
-        customer.join(F.broadcast(supplier),
-                      customer.c_nationkey == supplier.s_nationkey)
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("c_custkey", "s_suppkey", "n_name")
-    )
+    # r7 (guide §3.3 — avoid exploding joins): the previous shape
+    # pre-joined customer × supplier ON NATIONKEY (a ~25-key many-to-many:
+    # 150k customers × 40 same-nation suppliers ≈ 6M dim rows at sf1.0)
+    # and broadcast THAT — seconds of build time and a >100 MB hash
+    # relation probed on a composite key. Joining the dimensions onto the
+    # fact chain one at a time keeps every broadcast at true dimension
+    # size (≤ filtered orders) and applies c_nationkey = s_nationkey as a
+    # 1k-row supplier lookup instead of a row-multiplying pre-join.
+    # Same result, same oracle; plan stays all-BroadcastHashJoin.
     return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dims),
-              (F.col("o_custkey") == F.col("c_custkey"))
-              & (F.col("l_suppkey") == F.col("s_suppkey")))
+        lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))

@@ -55,7 +55,6 @@ from pdf_extraction_spark.cache import track
 from pdf_extraction_spark.operators.dedup import neardup_clusters
 from pdf_extraction_spark.operators.similarity import (
     DIM,
-    quantized_cosine,
     valid_embeddings,
 )
 from pdf_extraction_spark.sources.tables import load_testdata as T
@@ -147,19 +146,45 @@ def semantic_members(spark: SparkSession, sf: str, centroids=None,
     same way; ``tau`` the duplicate-cosine threshold."""
     assigned = semantic_assign(spark, sf, centroids=centroids,
                                embeddings=embeddings)
-    a = assigned.select(
-        "sem_cluster", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
-    )
-    b = assigned.select(
-        F.col("sem_cluster").alias("sc_b"), F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
+    # r7 (guide §4.1/§4.2 — ship columns once, compute batched): the
+    # cluster-keyed self-join + per-pair cosine UDF moved every embedding
+    # across the Arrow boundary ONCE PER PAIR (Σ|c|² ≈ n·SEM_WIDTH pairs ×
+    # 2×DIM doubles ≈ 2.5 GB at sf1.0). Grouping by cluster instead ships
+    # each embedding once per CLUSTER and scores all pairs with one exact
+    # int64 matmul: D=QQᵀ gives the identical quantized dot products and
+    # diag(D) the identical norms, so cos = D/(nᵢnⱼ) is the same IEEE
+    # division the per-pair UDF performs (parity pinned in
+    # tests/test_semdedup.py::test_grouped_scores_match_pairwise_udf).
+    # The Python side under-filters at tau−1e-6; the authoritative gate
+    # stays the Spark-side round(·,6) ≥ tau, unchanged. Still cluster-
+    # keyed — one hash exchange, never all-pairs (same Σ|c|² bound).
+    tau_floor = float(tau) - 1e-6
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"va": pd.Series([], dtype="int64"),
+                                 "vb": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        Q = np.round(
+            np.array(pdf["embedding"].tolist(), dtype=np.float64) * 10000.0
+        ).astype(np.int64)
+        D = Q @ Q.T  # exact int64 (|component| ≤ 1e4, DIM=64 → ≪ 2^63)
+        n = np.sqrt(np.diag(D).astype(np.float64))
+        C = D / np.outer(n, n)
+        iu, ju = np.triu_indices(len(ids), k=1)  # i < j ⇒ va < vb (sorted)
+        c = C[iu, ju]
+        keep = c >= tau_floor
+        return pd.DataFrame({"va": ids[iu[keep]], "vb": ids[ju[keep]], "cos": c[keep]})
+
+    scored = (
+        assigned.select("sem_cluster", "vec_id", "embedding")
+        .groupBy("sem_cluster")
+        .applyInPandas(_score, "va long, vb long, cos double")
     )
     pairs = (
-        a.join(b, (F.col("sem_cluster") == F.col("sc_b")) & (F.col("va") < F.col("vb")))
-        .select(
-            "va", "vb",
-            F.round(quantized_cosine(F.col("ea"), F.col("eb")), 6).alias("cos"),
-        )
+        scored.select("va", "vb", F.round("cos", 6).alias("cos"))
         .filter(F.col("cos") >= tau)
         .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
         # the contraction loop re-reads the pair set every round

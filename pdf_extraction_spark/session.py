@@ -42,6 +42,14 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark_local"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # r7: scan-split size (guide §6.1). The driver testdata ships as one
+        # parquet file per table with ~20 MB row groups, so the 128m default
+        # reads even the 126 MB lineitem fact as ONE task; 32m splits it to
+        # row-group granularity (~6 tasks). Parameterised: a production
+        # deployment with many large files sets 256m-1g per the guide to cut
+        # task-scheduling overhead and map-task counts feeding shuffles.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_FILES_MAX_PARTITION_BYTES", "32m"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

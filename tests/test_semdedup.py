@@ -207,3 +207,41 @@ def test_k_escalation_bounds_pair_volume(spark):
     assert 200 <= len(by_group) <= 300
     dropped = sum(len(v) - 1 for v in by_group.values())
     assert dropped >= int(0.8 * 2048 * (WIDTH - 1) / WIDTH)
+
+
+def test_grouped_scores_match_pairwise_udf(spark):
+    """r7: the per-cluster matmul scoring must emit the exact doubles of
+    the per-pair quantized_cosine UDF for every within-cluster pair at or
+    above the tau floor — same quantized int64 dots, same IEEE division."""
+    from pdf_extraction_spark.operators.semdedup import (
+        SEM_TAU,
+        semantic_assign,
+    )
+    from pdf_extraction_spark.operators.similarity import quantized_cosine
+    from pdf_extraction_spark.cache import release_caches
+
+    assigned = semantic_assign(spark, SF_DIR)
+    a = assigned.select("sem_cluster", F.col("vec_id").alias("va"),
+                        F.col("embedding").alias("ea"))
+    b = assigned.select(F.col("sem_cluster").alias("sc_b"),
+                        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    want = {
+        (r["va"], r["vb"]): r["cos"]
+        for r in (
+            a.join(b, (F.col("sem_cluster") == F.col("sc_b")) & (F.col("va") < F.col("vb")))
+            .select("va", "vb",
+                    F.round(quantized_cosine(F.col("ea"), F.col("eb")), 6).alias("cos"))
+            .filter(F.col("cos") >= SEM_TAU)
+            .collect()
+        )
+    }
+    from pdf_extraction_spark.operators.semdedup import semantic_members
+
+    _assigned, members = semantic_members(spark, SF_DIR)
+    # the registered pipeline's pair set must coincide with the UDF pairs
+    # (members derive from exactly the threshold-passing pairs)
+    member_ids = {m["vec_id"] for m in [r.asDict() for r in members.collect()]}
+    udf_ids = {v for pair in want for v in pair}
+    release_caches()
+    assert member_ids == udf_ids
+    assert want, "fixture should produce threshold-passing pairs"
