@@ -158,9 +158,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     within a corpus identical to ln(N/df) ranking up to ties (both are
     strictly decreasing in df); ties broken by word. The df table is
     vocab-sized → broadcast back onto the tf aggregate."""
+    from pdf_extraction_spark.parallel import fan_out
+
     docs = T(spark, sf, "documents")
     n_docs = docs.count()  # scalar; one job over parquet metadata, not a collect loop
-    words = docs.select(
+    # r7 fan_out: the word explode + (doc,word) partial aggregation is the
+    # heavy map work and the scan is one task — widen first (guide §2.2)
+    words = fan_out(docs, "doc_id").select(
         "doc_id", "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     ).filter(F.col("word") != "")
     tf = words.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("tf"))
@@ -210,13 +214,20 @@ def chunk_dup_fractions(docs: DataFrame, id_col: str = "doc_id",
     dup_frac) from global keep-first over non-overlapping word 10-grams,
     ordered by (id, chunk_idx). Reused by the oracled query below and by
     the curation chain's repetition filter."""
+    from pdf_extraction_spark.parallel import fan_out
+
     words = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(float(CHUNK_WORDS))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(words, i * CHUNK_WORDS + 1, CHUNK_WORDS), " "),
     )
-    c = docs.select(F.col(id_col).alias("_id"), F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    # r7 fan_out: the chunking transform is an interpreted higher-order
+    # lambda (CodegenFallback) over every word — the heaviest map work in
+    # this query — and the scan is one task; widen first (guide §2.2)
+    c = fan_out(docs, id_col).select(
+        F.col(id_col).alias("_id"), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
     rn = F.row_number().over(W.partitionBy("chunk").orderBy("_id", "chunk_idx"))
     return (
         c.withColumn("is_dup", (rn > 1).cast("int"))

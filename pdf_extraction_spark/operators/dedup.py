@@ -267,15 +267,20 @@ def _verify_jaccard(cand: DataFrame, grams: DataFrame,
     either way. |A∪B| is computed as |A|+|B|−|A∩B| (the same integer, so
     the rounded division is bit-identical) to drop the second per-pair
     set build."""
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b"))
+    base = grams.select("doc_id", "grams")
     if n_docs is not None and n_docs <= broadcast_doc_cap:
-        ga, gb = F.broadcast(ga), F.broadcast(gb)
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+        # broadcast the IDENTICAL subplan for both sides (aliases above the
+        # exchange, not projections below it) so ReuseExchange builds the
+        # hash relation once and probes it for doc_a and doc_b
+        ga, gb = F.broadcast(base.alias("ga")), F.broadcast(base.alias("gb"))
+    else:
+        ga, gb = base.alias("ga"), base.alias("gb")
+    inter = F.size(F.array_intersect("ga.grams", "gb.grams"))
     return (
-        cand.join(ga, "doc_a").join(gb, "doc_b")
-        .select("doc_a", "doc_b", F.size("grams_a").alias("_na"),
-                F.size("grams_b").alias("_nb"), inter.alias("_i"))
+        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .select("doc_a", "doc_b", F.size("ga.grams").alias("_na"),
+                F.size("gb.grams").alias("_nb"), inter.alias("_i"))
         .select(
             "doc_a", "doc_b",
             F.round(

@@ -68,6 +68,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extraction_spark.cache import track
+from pdf_extraction_spark.parallel import fan_out
 from pdf_extraction_spark.sources.tables import load_testdata as T
 
 # ---------------------------------------------------------------- DSIR
@@ -108,8 +109,6 @@ def dsir_scores(docs: DataFrame, target: F.Column) -> DataFrame:
     comes within 1e-5 of a boundary — ≥500× the worst plausible ln
     divergence — so a dataset regen that lands near a boundary is caught
     before the driver hash gate sees it."""
-    from pdf_extraction_spark.parallel import fan_out
-
     words = F.split(F.lower(F.col("text")), " ")
     # r7: the bigram hash explode (md5+conv per adjacent word pair) is the
     # dominant map work and the documents scan is one task — widen first
@@ -646,7 +645,11 @@ def q_ccnet_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     md5-prefix int), so the oracle pins the full rewritten corpus, not
     just the counts."""
     docs = T(spark, sf, "documents")
-    dd = ccnet_line_dedup(with_line_structure(docs.select("doc_id", "text")))
+    # r7 fan_out: line synthesis + per-line normalize/md5 is the heavy map
+    # work and the scan is one task — widen first (guide §2.2)
+    dd = ccnet_line_dedup(with_line_structure(
+        fan_out(docs.select("doc_id", "text"), "doc_id")
+    ))
     return (
         dd.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")

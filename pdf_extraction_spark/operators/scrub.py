@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extraction_spark.operators.dedup import grams_udf
+from pdf_extraction_spark.parallel import fan_out
 from pdf_extraction_spark.sources.tables import load_testdata as T
 
 # Java-regex ∩ RE2 subset: no lookarounds, no backrefs — identical
@@ -80,6 +81,9 @@ def redact_pii(docs: DataFrame) -> DataFrame:
 def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
     """Per-doc PII hits + a corpus digest of the MASKED text (md5), proving
     the rewritten strings — not just the counts — match the oracle."""
+    # r7: measured fan_out here as neutral-to-negative (1.4 s plain vs
+    # 1.6 s widened at sf1.0) — the two regexp_counts are too light to
+    # beat one exchange of the full text; left narrow deliberately
     red = redact_pii(with_synthetic_pii(T(spark, sf, "documents")))
     return (
         red.select("doc_id", "n_emails", "n_phones", F.md5("clean_text").alias("clean_md5"))
@@ -126,15 +130,20 @@ def q_contamination(spark: SparkSession, sf: str) -> DataFrame:
     (doc_id % BENCH_EVERY == 0): (doc_id, n_shared_grams). The benchmark
     gram set is broadcast; corpus grams never shuffle pre-join."""
     docs = T(spark, sf, "documents")
-    grams = docs.select(
+    # r7: filter each branch BEFORE the shingle UDF (the doc_id predicate
+    # does not depend on the UDF output, so pre-filtering is free column
+    # pruning of the expensive work — the bench side then shingles 2% of
+    # the corpus instead of all of it) and fan_out the one-task scan
+    # (guide §2.2/§4.1).
+    shingled = lambda d: fan_out(d, "doc_id").select(  # noqa: E731
         "doc_id", F.explode(grams_udf(F.col("text"), CONTAM_SHINGLE)).alias("g")
     )
     bench = (
-        grams.filter(F.col("doc_id") % BENCH_EVERY == 0)
+        shingled(docs.filter(F.col("doc_id") % BENCH_EVERY == 0))
         .select("g")
         .distinct()
     )
-    corpus = grams.filter(F.col("doc_id") % BENCH_EVERY != 0)
+    corpus = shingled(docs.filter(F.col("doc_id") % BENCH_EVERY != 0))
     return (
         corpus.join(F.broadcast(bench), "g")
         .groupBy("doc_id")

@@ -301,8 +301,11 @@ REPETITION_MIN_TOP_FRAC = 0.15
 def q_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Top-K corpus vocabulary: (token, n_occurrences, n_docs), ties broken
     by token for determinism."""
+    from pdf_extraction_spark.parallel import fan_out
+
     docs = T(spark, sf, "documents")
-    words = docs.select(
+    # r7 fan_out: word explode + partial agg on a one-task scan (guide §2.2)
+    words = fan_out(docs, "doc_id").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     )
     return (
