@@ -31,31 +31,33 @@ from pdf_extraction_spark.operators import (  # noqa: F401
 # regardless of position is still verified by the in-repo mirror
 # (tests/test_oracle_queries.py, all entries vs DuckDB at sf0.001).
 _PRIORITY = [
-    # NEW this round (r6) — never had a driver row: CCNet line-grain dedup,
-    # embedding hard-negative mining, quality-classifier training set,
-    # int8 embedding quantization report
-    "ccnet_line_dedup", "ann_hard_negatives", "classifier_training_set",
-    "embed_int8_stats",
-    # oracles CHANGED in r6 — re-verify first: the two r5
-    # hash-fails (CAST(... AS BIGINT) added, VERDICT r5 item 1) and the
-    # semdedup pair (fixed k=16 → data-dependent k = max(16, n//256) with a
-    # scalar-subquery LIMIT in the oracle, VERDICT r5 item 3)
-    "dsir_importance_sample", "ccnet_perplexity_filter",
-    "semantic_dedup", "semantic_dedup_stats",
-    # r04-green but outside the r05 50-entry window — two rounds stale by
-    # r6 without a row here (VERDICT r5 item 4: no registry entry without a
-    # driver-green row in r05 ∪ r06)
-    "rollup_order_stats", "review_pending", "backfill_update_join",
-    "cube_order_stats", "moving_avg_events", "except_intersect_users",
-    "tpch_q5_regional_revenue", "sanitize_filenames", "dedup_exact",
-    "ann_ivf_topk", "exam_flatten", "salted_join_user_stats",
-    "stratified_sample", "redact_pii", "contamination_check",
-    "session_window_stats", "sketch_accuracy", "funnel_view_click_purchase",
-    "topk_per_group", "value_histogram", "value_percentiles",
-    "range_join_windows", "text_embed_neardup", "assemble_training_records",
-    "scd2_user_segments", "pack_sequences", "tfidf_top_terms",
-    "chunk_dedup_stats", "source_mix_sample", "adaptive_length_filter",
-    "suffix_array_dedup", "top_duplicated_grams",
+    # r7 rotation (r6 VERDICT item 5): every entry WITHOUT a driver-green
+    # row in the r06 window (CORRECTNESS_r06.json's 50 names) enumerates
+    # first, so the r07 sweep re-certifies exactly the r05-only set —
+    # after r07, no registry entry lacks a driver row in r06 ∪ r07. This
+    # doubles as evidence routing for the r7 OPTIMIZATION changes: the
+    # rewritten/restructured hot paths (minhash/incremental LSH, simhash,
+    # classifier cascade, keep-first, vocab, multimodal,
+    # incremental-exact-substring, neardup/ANN family) all sit in this
+    # stale set and get fresh driver rows on the optimized code.
+    "keep_first_window", "slug_canonical", "token_estimate",
+    "classifier_cascade", "validity_filters", "json_parse",
+    "dedup_bloom_prefilter", "dedup_minhash_lsh", "dedup_incremental_lsh",
+    "dedup_simhash_buckets", "dedup_clusters", "dedup_cluster_best",
+    "ann_cosine_topk", "ann_lsh_buckets", "embedding_neardup_pairs",
+    "neardup_bucketed_pairs", "ann_ivf_recall", "ann_lsh_topk",
+    "lang_id", "text_quality", "token_count", "doc_fingerprint",
+    "sessionize", "dedup_consecutive", "vocab_stats", "repetition_stats",
+    "multimodal_features", "multimodal_transform", "unpivot_event_matrix",
+    "asof_join", "asof_join_broadcast", "pivot_event_types",
+    "mixture_epoch_plan", "shard_manifest", "incremental_exact_substring",
+    "gopher_quality_filters", "line_quality_filters", "split_leakage_audit",
+    # r7-touched entries that DO have an r06 row — next in line so the
+    # 50-entry window still re-verifies them on the optimized code
+    "top_duplicated_grams", "semantic_dedup", "semantic_dedup_stats",
+    "tpch_q5_regional_revenue", "contamination_check", "tfidf_top_terms",
+    "chunk_dedup_stats", "ccnet_line_dedup", "dsir_importance_sample",
+    "retry_state_join", "suffix_array_dedup", "dedup_exact",
 ]
 
 

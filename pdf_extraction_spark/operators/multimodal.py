@@ -184,7 +184,11 @@ def media_features(media: DataFrame, fake: bool = True) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Feature-extraction aggregate over synthesized binary media. The fake
     decoder is md5-based, so a SQL oracle CAN verify it end-to-end."""
-    feats = media_features(synth_media(spark, sf), fake=True)
+    from pdf_extraction_spark.parallel import fan_out
+
+    # r7 fan_out: payload synthesis + decode is the heavy map work and the
+    # documents scan is one task (guide §2.2)
+    feats = media_features(fan_out(synth_media(spark, sf), "doc_id"), fake=True)
     return (
         feats.groupBy("media_type")
         .agg(

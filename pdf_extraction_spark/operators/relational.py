@@ -117,7 +117,11 @@ def q_retry_state_join(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_prior"),
         F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("has_completed"),
     )
-    joined = cust.join(prior, cust.c_custkey == prior.o_custkey, "left_outer")
+    # r7 (guide §3.1): prior is an aggregate at customer grain (~150k rows,
+    # 3 narrow cols at sf1.0) — broadcast it so the customer side never
+    # shuffles; the planner's estimate for a post-aggregate is too coarse
+    # to pick this automatically
+    joined = cust.join(F.broadcast(prior), cust.c_custkey == prior.o_custkey, "left_outer")
     decision = (
         F.when(F.col("n_prior").isNull(), "process")
         .when(F.col("has_completed") == 1, "replay")

@@ -133,10 +133,41 @@ def _bloom_filter_words(io: TableIO, batch_id: str) -> DataFrame | None:
     )
 
 
+_REBUILT_STAMP_RE = r"^__rebuilt_m(\d+)__$"
+
+
 def _bloom_meta(io: TableIO, n_batch: int) -> int:
-    """Read (or create, first admission batch) the shared filter size."""
+    """Read (or create, first admission batch) the shared filter size.
+
+    r7 ADVICE fix (atomicity): ``rebuild_bloom`` stamps the new m_bits INTO
+    the rebuilt partition's batch_id (``__rebuilt_m<bits>__``), so the bit
+    geometry travels atomically with the filter words in ONE staged swap.
+    A crash between that swap and the bloom_meta overwrite previously left
+    words built at the new m_bits while probes read the old m_bits —
+    misaligned bit positions ⇒ silent FALSE NEGATIVES (store duplicates
+    admitted). Now the stamp is authoritative: on mismatch (or missing
+    meta) the meta row is re-derived from the stamp and the probe geometry
+    always matches the words it probes."""
+    import re
+
+    stamp: int | None = None
+    if io.exists("bloom"):
+        for r in io.read("bloom").select("batch_id").distinct().collect():
+            m = re.match(_REBUILT_STAMP_RE, str(r["batch_id"]))
+            if m:
+                stamp = int(m.group(1))
+                break
+    meta: int | None = None
     if io.exists("bloom_meta"):
-        return int(io.read("bloom_meta").collect()[0]["m_bits"])
+        meta = int(io.read("bloom_meta").collect()[0]["m_bits"])
+    if stamp is not None and stamp != meta:
+        io.write(
+            io.spark.createDataFrame([(stamp,)], "m_bits bigint"),
+            "bloom_meta", mode="overwrite",
+        )
+        return stamp
+    if meta is not None:
+        return meta
     m_bits = max(BLOOM_MIN_BITS, BLOOM_BITS_PER_KEY * n_batch * BLOOM_HEADROOM)
     io.write(
         io.spark.createDataFrame([(m_bits,)], "m_bits bigint"),
@@ -389,7 +420,9 @@ def rebuild_bloom(spark: SparkSession, root: str) -> dict:
         _probe_words(hashes, m_bits)
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
-        .select(F.lit("__rebuilt__").alias("batch_id"), "word_idx", "bits")
+        # the m_bits stamp in the partition value makes filter words and
+        # bit geometry atomic under the single staged swap (see _bloom_meta)
+        .select(F.lit(f"__rebuilt_m{m_bits}__").alias("batch_id"), "word_idx", "bits")
     )
 
     def verify(staged: DataFrame) -> None:

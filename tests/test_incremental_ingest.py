@@ -469,6 +469,43 @@ def test_rebuild_bloom_resizes_and_preserves_admission(spark, tmp_path):
                   .filter(F.col("batch_id") == "b-c").collect()) == [32]
 
 
+def test_rebuild_bloom_meta_crash_window_is_safe(spark, tmp_path):
+    """r7 ADVICE fix: a crash BETWEEN the bloom rewrite and the bloom_meta
+    overwrite must not leave probes reading the old m_bits against words
+    built at the new m_bits (silent false negatives). The rebuilt
+    partition's batch_id stamps the new m_bits atomically with the words;
+    _bloom_meta re-derives (heals) the meta row from the stamp."""
+    import shutil
+
+    from pdf_extraction_spark.plans.incremental import _bloom_meta, rebuild_bloom
+
+    root = str(tmp_path / "w")
+    append_batch(spark, root, _df(spark, ADM_A), "b-a", window=W,
+                 admit_unique=True)
+    append_batch(spark, root, _df(spark, ADM_B), "b-b", window=W,
+                 admit_unique=True)
+    io = TableIO(spark, root)
+    out = rebuild_bloom(spark, root)
+    # simulate the crash window: meta still holds a PRE-RESIZE size that
+    # does not match the rebuilt words' geometry (at this corpus size the
+    # natural rebuild lands on the BLOOM_MIN_BITS floor, so the stale
+    # value is injected rather than produced by a real doubling)
+    stale_m = out["m_bits"] // 2
+    shutil.rmtree(io.path("bloom_meta"))
+    io.write(spark.createDataFrame([(stale_m,)], "m_bits bigint"),
+             "bloom_meta", mode="overwrite")
+    # the stamp is authoritative: meta heals to the rebuilt size
+    assert _bloom_meta(io, 1) == out["m_bits"]
+    assert int(io.read("bloom_meta").collect()[0]["m_bits"]) == out["m_bits"]
+    # and admission still rejects every store duplicate (no false negatives)
+    s = append_batch(
+        spark, root,
+        _df(spark, [(40, "alpha beta gamma"), (41, "kappa lambda mu"),
+                    (42, "totally new sentence")]),
+        "b-d", window=W, admit_unique=True)
+    assert s["n_store_dups"] == 2 and s["n_admitted"] == 1
+
+
 def test_stream_ingest_admit_unique_rejects_cross_epoch_dups(spark, tmp_path):
     """Streaming ingest with admit_unique=True: a document whose exact
     text landed in an earlier epoch (doc 10 == doc 1) or earlier in the
