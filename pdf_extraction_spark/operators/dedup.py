@@ -245,8 +245,12 @@ def lsh_band_candidates(sigs: DataFrame, max_band_width: int = MAX_BAND_WIDTH) -
 
 
 VERIFY_BROADCAST_DOC_CAP = int(
-    _os.environ.get("SPARK_VERIFY_BROADCAST_DOC_CAP", "64000")
-)  # ~500 MB of gram arrays per broadcast side at the observed ~7.5 KB/doc
+    _os.environ.get("SPARK_VERIFY_BROADCAST_DOC_CAP", "200000")
+)  # measured ~0.8 KB of distinct-shingle bytes per testdata doc → ~160 MB
+# raw per broadcast side at the cap (one build at runtime: both sides are
+# the identical subplan), comfortably inside an 8g driver; above the cap
+# the shuffle attach runs unchanged — a corpus-scale gram table never
+# broadcasts
 
 
 def _verify_jaccard(cand: DataFrame, grams: DataFrame,
@@ -258,9 +262,10 @@ def _verify_jaccard(cand: DataFrame, grams: DataFrame,
     incremental pipelines so the delta==batch contract can't drift.
 
     r7 (guide §8 — never shuffle a heavy payload per pair): attaching the
-    gram arrays with two sort-merge joins shuffled ~7.5 KB of shingles PER
-    CANDIDATE PAIR (3.9M pairs at sf1.0 ≈ 30 GB in flight; measured 20.5 s
-    → 10.3 s). When the caller knows the gram table is corpus-bounded
+    gram arrays with two sort-merge joins shuffled both docs' shingle
+    arrays PER CANDIDATE PAIR — multi-GB in flight for 3.9M pairs at
+    sf1.0, measured 20.5 s → 10.3 s when the attach stopped moving pair
+    rows. When the caller knows the gram table is corpus-bounded
     (``n_docs`` ≤ the cap), both gram sides are BROADCAST instead, so the
     pair set never moves and the payload crosses once as one broadcast per
     side. Above the cap (or unknown) the shuffle join remains — exact
